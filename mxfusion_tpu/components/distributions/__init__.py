@@ -1,0 +1,15 @@
+from .distribution import Distribution, UnivariateDistribution
+from .random_gen import RandomGenerator, FixedRandomGenerator
+from .normal import (Normal, MultivariateNormal, NormalMeanPrecision,
+                     MultivariateNormalMeanPrecision)
+from .gamma import Gamma, GammaMeanVariance
+from .bernoulli import Bernoulli
+from .categorical import Categorical
+from .beta import Beta
+from .dirichlet import Dirichlet
+from .wishart import Wishart
+from .uniform import Uniform
+from .laplace import Laplace
+from .pointmass import PointMass
+from .gp import GaussianProcess, ConditionalGaussianProcess
+from .gp import kernels as gp_kernels

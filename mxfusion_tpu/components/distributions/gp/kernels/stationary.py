@@ -1,0 +1,42 @@
+"""Stationary kernels: ARD lengthscale + variance, scaled squared distance.
+
+Reference: /root/reference/mxfusion/components/distributions/gp/kernels/
+stationary.py:21-132. The scaled squared distance uses the
+``|x|² + |x'|² − 2 x·x'`` expansion whose cross term is a single batched
+matmul (einsum) — the dominant FLOPs land on the MXU. A fused Pallas
+path for the full (R² → amplitude) pipeline lives in
+``mxfusion_tpu.ops.pallas_kernels`` and is used by RBF when enabled.
+"""
+import jax.numpy as jnp
+
+from .kernel import NativeKernel
+
+
+class StationaryKernel(NativeKernel):
+    """Base for kernels that depend only on scaled distance r = |x - x'| / l."""
+
+    def __init__(self, input_dim, ARD=False, variance=1., lengthscale=1.,
+                 name="stationary", active_dims=None, dtype=None):
+        super().__init__(input_dim=input_dim, name=name,
+                         active_dims=active_dims, dtype=dtype)
+        self.ARD = ARD
+        ls_shape = (input_dim,) if ARD else (1,)
+        self.lengthscale = self._make_param(lengthscale, ls_shape)
+        self.variance = self._make_param(variance, (1,))
+
+    def _compute_R2(self, X, X2, lengthscale):
+        """Scaled squared distance matrix (..., N, M), clamped at 0."""
+        ls = jnp.expand_dims(lengthscale, axis=-2)  # (..., 1, D)
+        Xs = X / ls
+        if X2 is None:
+            X2s = Xs
+        else:
+            X2s = X2 / ls
+        x1sq = jnp.sum(jnp.square(Xs), axis=-1)
+        x2sq = jnp.sum(jnp.square(X2s), axis=-1)
+        cross = jnp.einsum("...nd,...md->...nm", Xs, X2s)
+        R2 = x1sq[..., :, None] + x2sq[..., None, :] - 2.0 * cross
+        return jnp.maximum(R2, 0.0)
+
+    def _compute_Kdiag(self, X, lengthscale, variance):
+        return jnp.broadcast_to(variance, X.shape[:-1])

@@ -1,0 +1,22 @@
+from .inference import Inference, TransferInference
+from .inference_parameters import InferenceParameters
+from .inference_alg import (
+    InferenceAlgorithm, SamplingAlgorithm, RuntimeContext, VariableEnv,
+    create_executor, create_sampling_executor)
+from .grad_based_inference import GradBasedInference, GradTransferInference
+from .grad_loop import GradLoop
+from .batch_loop import BatchInferenceLoop
+from .minibatch_loop import MinibatchInferenceLoop
+from .variational import (
+    VariationalInference, VariationalSamplingAlgorithm,
+    StochasticVariationalInference)
+from .meanfield import create_Gaussian_meanfield
+from .map import MAP
+from .score_function import ScoreFunctionInference, ScoreFunctionRBInference
+from .forward_sampling import (
+    ForwardSamplingAlgorithm, ForwardSampling,
+    VariationalPosteriorForwardSampling, merge_posterior_into_model)
+from .expectation import (
+    ExpectationAlgorithm, ExpectationScoreFunctionAlgorithm)
+from .prediction import ModulePredictionAlgorithm
+from .pilco_alg import PILCOAlgorithm

@@ -1,0 +1,13 @@
+"""Abstract gradient loop.
+
+Reference: /root/reference/mxfusion/inference/grad_loop.py:19-45.
+"""
+from abc import ABC, abstractmethod
+
+
+class GradLoop(ABC):
+    @abstractmethod
+    def run(self, executor, params, data, optimizer="adam",
+            learning_rate=1e-3, max_iter=1000, key=None, verbose=False,
+            callback=None, mesh=None):
+        """Run the optimization loop; returns the final loss."""

@@ -1,0 +1,41 @@
+"""Linalg building blocks for the GP/inference stack.
+
+These replace the reference's two hand-written MXNet custom operators
+(/root/reference/mxfusion/util/customop.py:22-146): ``make_diagonal``
+(batched diag-embed) and ``broadcast_to_w_samples`` (sample-aware
+broadcast). In JAX both are plain traceable functions — XLA derives the
+VJPs the reference had to hand-write (sum-backward for broadcast,
+diagonal-extract for diag-embed).
+"""
+import jax.numpy as jnp
+
+
+def make_diagonal(x):
+    """Batched diag-embed: (..., N) -> (..., N, N)."""
+    n = x.shape[-1]
+    out = jnp.zeros(x.shape + (n,), dtype=x.dtype)
+    idx = jnp.arange(n)
+    return out.at[..., idx, idx].set(x)
+
+
+def broadcast_to_w_samples(x, shape, num_samples):
+    """Broadcast ``x`` to ``(num_samples,) + shape`` respecting the sample axis.
+
+    ``x`` carries a leading sample axis (size 1 or num_samples); the
+    remaining axes are right-aligned against ``shape`` and broadcast.
+    """
+    n_target = len(shape)
+    n_source = x.ndim - 1
+    if n_target - n_source > 0:
+        t_shape = (x.shape[0],) + (1,) * (n_target - n_source) + \
+            tuple(x.shape[1:])
+        x = jnp.reshape(x, t_shape)
+    return jnp.broadcast_to(x, (num_samples,) + tuple(shape))
+
+
+def cholesky_logdet(A):
+    """(L, logdet) for SPD A via one Cholesky (batched)."""
+    L = jnp.linalg.cholesky(A)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
+                           axis=-1)
+    return L, logdet

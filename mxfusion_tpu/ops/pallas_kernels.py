@@ -1,0 +1,165 @@
+"""Pallas TPU kernels for the GP hot path.
+
+The single hottest non-matmul-library op in the framework is kernel-matrix
+assembly (reference equivalent: the R² + exp pipeline in
+/root/reference/mxfusion/components/distributions/gp/kernels/
+stationary.py:74-108 and rbf.py:54-72, executed by MXNet). Here it is a
+fused Pallas kernel: each (TILE_N, TILE_M) output block scales its X/X2
+tiles by the lengthscale, runs the cross term on the MXU, and applies
+the exp epilogue in VMEM — one HBM write for K, no intermediate R²
+round-trip.
+
+Gradients: the forward runs in Pallas; the backward recomputes through
+the jnp reference formula via ``jax.vjp`` (a custom_vjp pairing —
+forward speed where it matters, with XLA-derived exact gradients).
+
+Eligibility is conservative: single sample (s == 1), float32, tile-aligned
+N/M, TPU backend (or the interpreter for tests). Everything else takes
+the jnp path, which XLA fuses well on its own.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_USE_PALLAS = True
+_FORCE_INTERPRET = False  # tests flip this to exercise the kernel on CPU
+
+TILE_N = 256
+TILE_M = 256
+MAX_D = 512
+
+
+def set_use_pallas(flag):
+    global _USE_PALLAS
+    _USE_PALLAS = bool(flag)
+
+
+def use_pallas():
+    return _USE_PALLAS
+
+
+def set_force_interpret(flag):
+    global _FORCE_INTERPRET
+    _FORCE_INTERPRET = bool(flag)
+
+
+def _on_tpu():
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def pallas_eligible(X, X2):
+    """Check shapes/dtypes allow the fused Pallas path (static check)."""
+    if not _USE_PALLAS:
+        return False
+    if not (_on_tpu() or _FORCE_INTERPRET):
+        return False
+    if X.dtype != jnp.float32:
+        return False
+    if X.ndim != 3 or X.shape[0] != 1:  # (s=1, N, D) only
+        return False
+    X2_ = X if X2 is None else X2
+    if X2_.ndim != 3 or X2_.shape[0] != 1:
+        return False
+    N, D = X.shape[1], X.shape[2]
+    M = X2_.shape[1]
+    if D > MAX_D:
+        return False
+    if N % TILE_N != 0 or M % TILE_M != 0:
+        return False
+    return True
+
+
+def _rbf_block_kernel(x_ref, x2_ref, ls_ref, var_ref, out_ref):
+    ls = ls_ref[:]                     # (1, D)
+    x = x_ref[:] / ls                  # (TILE_N, D)
+    x2 = x2_ref[:] / ls                # (TILE_M, D)
+    cross = jax.lax.dot_general(
+        x, x2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (TILE_N, TILE_M)
+    xsq = jnp.sum(x * x, axis=1, keepdims=True)      # (TILE_N, 1)
+    x2sq = jnp.sum(x2 * x2, axis=1, keepdims=True)   # (TILE_M, 1)
+    r2 = jnp.maximum(xsq + jnp.transpose(x2sq) - 2.0 * cross, 0.0)
+    out_ref[:] = var_ref[0, 0] * jnp.exp(-0.5 * r2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rbf_pallas_2d(X, X2, ls_row, var_scalar, interpret=False):
+    N, D = X.shape
+    M = X2.shape[0]
+    grid = (N // TILE_N, M // TILE_M)
+    return pl.pallas_call(
+        _rbf_block_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_N, TILE_M), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, M), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * M * D + 4 * N * M,
+            bytes_accessed=4 * (N * D + M * D + N * M),
+            transcendentals=N * M),
+        interpret=interpret,
+    )(X, X2, ls_row, var_scalar)
+
+
+def _rbf_jnp(X, X2, lengthscale, variance):
+    ls = jnp.expand_dims(lengthscale, axis=-2)
+    Xs = X / ls
+    X2s = Xs if X2 is None else X2 / ls
+    x1sq = jnp.sum(jnp.square(Xs), axis=-1)
+    x2sq = jnp.sum(jnp.square(X2s), axis=-1)
+    cross = jnp.einsum("...nd,...md->...nm", Xs, X2s)
+    R2 = jnp.maximum(x1sq[..., :, None] + x2sq[..., None, :] - 2.0 * cross,
+                     0.0)
+    return jnp.expand_dims(variance, axis=-1) * jnp.exp(-0.5 * R2)
+
+
+@jax.custom_vjp
+def rbf_kernel_matrix(X, X2, lengthscale, variance):
+    """Fused RBF kernel matrix for (1, N, D) inputs; falls back to jnp."""
+    return _rbf_forward(X, X2, lengthscale, variance)
+
+
+def _rbf_forward(X, X2, lengthscale, variance):
+    X2_ = X if X2 is None else X2
+    # broadcast lengthscale to a (1, D) row for the kernel
+    D = X.shape[-1]
+    ls_row = jnp.broadcast_to(
+        jnp.reshape(lengthscale, (1, -1)), (1, D)).astype(jnp.float32)
+    var_scalar = jnp.reshape(variance, (1, 1)).astype(jnp.float32)
+    K = _rbf_pallas_2d(X[0], X2_[0], ls_row, var_scalar,
+                       interpret=_FORCE_INTERPRET)
+    return K[None]
+
+def _rbf_fwd(X, X2, lengthscale, variance):
+    return _rbf_forward(X, X2, lengthscale, variance), \
+        (X, X2, lengthscale, variance)
+
+
+def _rbf_bwd(res, g):
+    X, X2, lengthscale, variance = res
+    if X2 is None:
+        _, vjp = jax.vjp(lambda x, l, v: _rbf_jnp(x, None, l, v),
+                         X, lengthscale, variance)
+        dX, dls, dvar = vjp(g)
+        return dX, None, dls, dvar
+    _, vjp = jax.vjp(_rbf_jnp, X, X2, lengthscale, variance)
+    return vjp(g)
+
+
+rbf_kernel_matrix.defvjp(_rbf_fwd, _rbf_bwd)
