@@ -149,8 +149,12 @@ class MultivariateNormalMeanPrecision(Distribution):
         eps = self._rand_gen.sample_normal(
             key, shape=(num_samples,) + rv_shape, dtype=self.dtype)
         # x = mean + L^{-T} eps  has covariance (L L^T)^{-1} = Λ^{-1}
-        z = jsl.solve_triangular(jnp.swapaxes(L, -1, -2), eps[..., None],
-                                 lower=False)[..., 0]
+        # (XLA triangular_solve requires compatible batch dims: broadcast
+        # the factor against the sample batch explicitly)
+        LT = jnp.swapaxes(L, -1, -2)
+        D = rv_shape[-1]
+        LT = jnp.broadcast_to(LT, eps.shape[:-1] + (D, D))
+        z = jsl.solve_triangular(LT, eps[..., None], lower=False)[..., 0]
         return mean + z
 
     @classmethod
