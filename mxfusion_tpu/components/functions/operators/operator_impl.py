@@ -147,7 +147,9 @@ def broadcast_to(data, shape):
 
         def eval(self, env):
             target_shape = realize_shape(self.properties["shape"], env)
-            arr = env[self.inputs[0][1].uuid]
+            arr = jnp.asarray(env[self.inputs[0][1].uuid])
+            if arr.ndim == 0:  # scalar constant: give it a sample axis
+                arr = arr[None]
             source_shape = arr.shape
             n_target = len(target_shape)
             n_source = len(source_shape)

@@ -196,47 +196,69 @@ class ModelComponent:
             replica.attributes = list(self.attributes)
         return replica
 
-    def replicate(self, var_map=None, replication_function=None):
-        """Replicate this component and (per-policy) its neighborhood.
-
-        ``replication_function(component) -> 'recursive' | 'one_level' | None``
-        controls how far replication propagates from each node, mirroring
-        the reference's policy mechanism (model_component.py:209-286).
-        The replicas are left in bi-directional mode.
-        """
-        var_map = var_map if var_map is not None else {}
-        return self._replicate_worker(var_map, replication_function)
-
-    def _replicate_worker(self, var_map, replication_function):
+    def _replicate_self_with_attributes(self, var_map):
+        """Replicate this node (memoized in ``var_map``) along with its
+        attribute Variables (reference model_component.py:209-230)."""
         if self in var_map:
             return var_map[self]
         attr_map = {}
         for a in self.attributes:
-            if isinstance(a, ModelComponent):
-                attr_map[a] = a._replicate_worker(var_map, replication_function)
+            if not isinstance(a, ModelComponent):
+                continue
+            if a in var_map:
+                attr_map[a] = var_map[a]
+            else:
+                attr_map[a] = a.replicate_self()
+                var_map[a] = attr_map[a]
         replica = self.replicate_self(attribute_map=attr_map)
         var_map[self] = replica
-        policy = (replication_function(self)
-                  if replication_function is not None else 'recursive')
-        if policy is None:
-            return replica
-        # Replicate predecessors always (inputs define the node); successors
-        # only under 'recursive'.
-        for label, pred in self.predecessors:
-            if policy == 'recursive':
-                pred_replica = pred._replicate_worker(var_map, replication_function)
-            else:  # 'one_level': replicate direct predecessors without recursion
-                pred_replica = pred._replicate_worker(
-                    var_map, lambda c: None)
-            replica._predecessors.append((label, pred_replica))
-            pred_replica._successors.append((label, replica))
-        if policy == 'recursive':
-            for label, succ in self.successors:
-                succ_replica = succ._replicate_worker(var_map, replication_function)
-                if (label, succ_replica) not in replica._successors:
-                    replica._successors.append((label, succ_replica))
-                if (label, replica) not in succ_replica._predecessors:
-                    succ_replica._predecessors.append((label, replica))
+        return replica
+
+    def _replicate_neighbors(self, var_map, neighbors, recurse_type,
+                             replication_function):
+        if recurse_type == "recursive":
+            return [(name, n.replicate(var_map=var_map,
+                                       replication_function=replication_function))
+                    for name, n in neighbors]
+        if recurse_type == "one_level":
+            return [(name, n._replicate_self_with_attributes(var_map))
+                    for name, n in neighbors]
+        if recurse_type is None:
+            return []
+        raise ModelSpecificationError(
+            "recurse_type must be 'recursive', 'one_level' or None, got "
+            "{}.".format(recurse_type))
+
+    def replicate(self, var_map=None, replication_function=None):
+        """Replicate this component and its neighborhood.
+
+        ``replication_function(component) -> (pred_direction,
+        succ_direction)`` with directions in {'recursive', 'one_level',
+        None} controls propagation per node, mirroring the reference
+        (model_component.py:209-286). Replicas are left in
+        bi-directional mode; both link directions are maintained.
+        """
+        var_map = var_map if var_map is not None else {}
+        if self in var_map:
+            return var_map[self]
+        replica = self._replicate_self_with_attributes(var_map)
+        if replication_function is not None:
+            pred_rec, succ_rec = replication_function(self)
+        else:
+            pred_rec, succ_rec = None, None
+        preds = self._replicate_neighbors(var_map, self.predecessors,
+                                          pred_rec, replication_function)
+        succs = self._replicate_neighbors(var_map, self.successors,
+                                          succ_rec, replication_function)
+        replica._predecessors = preds
+        replica._successors = succs
+        for label, p in preds:
+            if not any(l == label and s is replica for l, s in p._successors):
+                p._successors.append((label, replica))
+        for label, s in succs:
+            if not any(l == label and p is replica
+                       for l, p in s._predecessors):
+                s._predecessors.append((label, replica))
         return replica
 
     # ------------------------------------------------------------------

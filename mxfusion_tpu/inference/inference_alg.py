@@ -169,10 +169,11 @@ def _make_env_builder(algorithm, params, rv_scaling=None):
     def build_env(trainable, fixed, data_list):
         env = VariableEnv()
         for uuid, v in constants.items():
-            if hasattr(v, "shape") or hasattr(v, "ndim"):
+            if hasattr(v, "shape") or isinstance(v, float):
                 env[uuid] = jnp.expand_dims(jnp.asarray(v), axis=0)
             else:
-                env[uuid] = v  # python scalar: static under jit
+                # python ints are shape constants: stay static under jit
+                env[uuid] = v
         for source in (fixed, trainable):
             for uuid, v in source.items():
                 t = var_trans.get(uuid)

@@ -268,26 +268,17 @@ class FactorGraph:
         new_factor.set_outputs([target_variable])
 
     def extract_distribution_of(self, variable):
-        """Replicate the generating distribution of ``variable`` (one level
-        of inputs), returning the replica variable (reference :394-413)."""
-        var_map = {}
+        """Replicate the generating distribution of ``variable`` with its
+        full parent subgraph, detached from everything downstream
+        (reference :394-413)."""
+        from ..components.factor import Factor as _Factor
 
-        def policy(c):
-            if c is variable:
-                return "one_level"
-            return None
+        def policy(component):
+            if isinstance(component, _Factor):
+                return ("recursive", "one_level")
+            return ("recursive", None)
 
-        replica = variable.replicate(var_map=var_map,
-                                     replication_function=policy)
-        # also pull the generating factor across
-        factor = variable.factor
-        if factor is not None:
-            f_replica = factor._replicate_worker(var_map, lambda c: "one_level")
-            if not any(s is replica for _, s in f_replica._successors):
-                for label, _ in factor.successors:
-                    f_replica._successors.append((label, replica))
-                    replica._predecessors.append((label, f_replica))
-        return replica
+        return variable.replicate(replication_function=policy)
 
     def clone(self, leaves=None):
         """Clone the whole graph preserving UUIDs (reference :415-451)."""
@@ -296,8 +287,9 @@ class FactorGraph:
         targets = leaves if leaves is not None else self.leaves
         replicas = []
         for leaf in targets:
-            replicas.append(leaf._replicate_worker(var_map,
-                                                   lambda c: "recursive"))
+            replicas.append(leaf.replicate(
+                var_map=var_map,
+                replication_function=lambda c: ("recursive", "recursive")))
         for r in replicas:
             r.graph = new_graph.components_graph
         # restore named attribute access

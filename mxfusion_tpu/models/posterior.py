@@ -55,8 +55,10 @@ class Posterior(FactorGraph):
                               name=self.name)
         var_map = {}
         targets = leaves if leaves is not None else self.leaves
-        replicas = [leaf._replicate_worker(var_map, lambda c: "recursive")
-                    for leaf in targets]
+        replicas = [leaf.replicate(
+            var_map=var_map,
+            replication_function=lambda c: ("recursive", "recursive"))
+            for leaf in targets]
         for r in replicas:
             r.graph = new_graph.components_graph
         for comp in new_graph.components_graph.nodes:

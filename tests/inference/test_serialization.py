@@ -1,0 +1,105 @@
+"""Save → rebuild → load → rerun round trips.
+
+Mirrors /root/reference/testing/inference/inference_serialization_test.py:91-260.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from mxfusion_tpu import Model, Variable
+from mxfusion_tpu.components.variables import PositiveTransformation
+from mxfusion_tpu.components.distributions import Normal
+from mxfusion_tpu.components.distributions.gp.kernels import RBF
+from mxfusion_tpu.components.functions.operators import broadcast_to
+from mxfusion_tpu.modules import GPRegression
+from mxfusion_tpu.inference import (
+    GradBasedInference, StochasticVariationalInference,
+    create_Gaussian_meanfield, MAP, ModulePredictionAlgorithm,
+    TransferInference)
+
+
+def _make_meanfield(n=50):
+    m = Model()
+    m.mu = Normal.define_variable(mean=0., variance=100., shape=(1,))
+    m.s = Variable(transformation=PositiveTransformation(),
+                   initial_value=5.)
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (n, 1)),
+                                 variance=broadcast_to(m.s, (n, 1)),
+                                 shape=(n, 1))
+    q = create_Gaussian_meanfield(model=m, observed=[m.y])
+    alg = StochasticVariationalInference(num_samples=5, model=m,
+                                         posterior=q, observed=[m.y])
+    return m, q, alg
+
+
+def test_meanfield_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((50, 1)) + 2.0
+    m1, q1, alg1 = _make_meanfield()
+    infr1 = GradBasedInference(inference_algorithm=alg1)
+    infr1.run(max_iter=80, learning_rate=0.1, y=y)
+    path = str(tmp_path / "inference.zip")
+    infr1.save(path)
+
+    # rebuild from scratch (fresh UUIDs), load, check parameters moved over
+    m2, q2, alg2 = _make_meanfield()
+    infr2 = GradBasedInference(inference_algorithm=alg2)
+    infr2.initialize(y=y)
+    infr2.load(path)
+    v1 = float(np.asarray(infr1.params[q1.mu.factor.mean]))
+    v2 = float(np.asarray(infr2.params[q2.mu.factor.mean]))
+    assert np.isclose(v1, v2)
+    s1 = float(np.asarray(infr1.params[m1.s]))
+    s2 = float(np.asarray(infr2.params[m2.s]))
+    assert np.isclose(s1, s2)
+    # the loaded inference can continue training
+    infr2.run(max_iter=10, learning_rate=0.05, y=y)
+
+
+def _make_gp(n_sym=True):
+    m = Model()
+    m.N = Variable()
+    m.X = Variable(shape=(m.N, 1))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.1)
+    kernel = RBF(input_dim=1, variance=1.0, lengthscale=1.0)
+    m.Y = GPRegression.define_variable(X=m.X, kernel=kernel,
+                                       noise_var=m.noise_var,
+                                       shape=(m.N, 1))
+    return m
+
+
+def test_gp_module_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    X = rng.random((30, 1)) * 4
+    Y = np.sin(X) + rng.standard_normal((30, 1)) * 0.1
+    m1 = _make_gp()
+    infr1 = GradBasedInference(
+        inference_algorithm=MAP(model=m1, observed=[m1.X, m1.Y]))
+    infr1.run(max_iter=100, learning_rate=0.05, X=X, Y=Y)
+    path = str(tmp_path / "gp.zip")
+    infr1.save(path)
+
+    m2 = _make_gp()
+    infr2 = GradBasedInference(
+        inference_algorithm=MAP(model=m2, observed=[m2.X, m2.Y]))
+    infr2.initialize(X=X, Y=Y)
+    infr2.load(path)
+    # module-internal kernel parameters must be reconciled + loaded
+    k1 = m1.Y.factor._module_graph.kernel
+    k2 = m2.Y.factor._module_graph.kernel
+    l1 = np.asarray(infr1.params[k1.lengthscale])
+    l2 = np.asarray(infr2.params[k2.lengthscale])
+    assert np.allclose(l1, l2)
+
+    # predictions from the loaded inference match
+    Xt = np.linspace(0, 4, 10)[:, None]
+    p1 = TransferInference(ModulePredictionAlgorithm(
+        model=m1, observed=[m1.X], target_variables=[m1.Y.uuid]),
+        infr_params=infr1.params)
+    mu1, _ = p1.run(X=Xt)[0]
+    p2 = TransferInference(ModulePredictionAlgorithm(
+        model=m2, observed=[m2.X], target_variables=[m2.Y.uuid]),
+        infr_params=infr2.params)
+    mu2, _ = p2.run(X=Xt)[0]
+    assert np.allclose(np.asarray(mu1), np.asarray(mu2), rtol=1e-5,
+                       atol=1e-6)

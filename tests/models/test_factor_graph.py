@@ -1,0 +1,191 @@
+"""FactorGraph machinery tests.
+
+Mirrors the reference's factor_graph_test.py coverage
+(/root/reference/testing/models/factor_graph_test.py:103-436):
+attach/name/remove, log_pdf vs hand-rolled math, draw_samples,
+replication/cloning with UUID preservation, Markov blankets,
+reconciliation and save/reload round trips.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy import stats
+
+from mxfusion_tpu import Model, Posterior, Variable
+from mxfusion_tpu.components.variables import (
+    VariableType, PositiveTransformation)
+from mxfusion_tpu.components.distributions import Normal, Gamma
+from mxfusion_tpu.components.functions.operators import broadcast_to
+from mxfusion_tpu.common.exceptions import InferenceError
+from mxfusion_tpu.models.factor_graph import FactorGraph
+
+
+def fill_constants(graph, env):
+    """Populate env with the graph's constant values (the executor's job
+    in real runs)."""
+    for v in graph.get_constants():
+        env[v.uuid] = jnp.expand_dims(jnp.asarray(v.constant,
+                                                  dtype=jnp.float64), 0)
+    return env
+
+
+def make_simple_model():
+    m = Model()
+    m.mu = Normal.define_variable(mean=0., variance=10., shape=(1,))
+    m.s = Gamma.define_variable(alpha=2., beta=2., shape=(1,))
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (5, 1)),
+                                 variance=broadcast_to(m.s, (5, 1)),
+                                 shape=(5, 1))
+    return m
+
+
+def test_attach_and_views():
+    m = make_simple_model()
+    assert m.mu.name == "mu"
+    assert m.y.type == VariableType.RANDVAR
+    assert len(m.distributions) == 3
+    assert len(m.functions) == 2  # the two broadcast_to operators
+    factors = m.ordered_factors
+    # topological: mu and s factors precede y's factor
+    idx = {f.uuid: i for i, f in enumerate(factors)}
+    assert idx[m.mu.factor.uuid] < idx[m.y.factor.uuid]
+    assert idx[m.s.factor.uuid] < idx[m.y.factor.uuid]
+
+
+def test_log_pdf_matches_hand_rolled():
+    m = make_simple_model()
+    env = {}
+    mu, s = 1.3, 0.7
+    y = np.linspace(-1, 1, 5)[:, None]
+    env[m.mu.uuid] = jnp.full((1, 1), mu)
+    env[m.s.uuid] = jnp.full((1, 1), s)
+    env[m.y.uuid] = jnp.asarray(y)[None]
+    fill_constants(m, env)
+    result = float(m.log_pdf(env))
+    expected = (stats.norm.logpdf(mu, 0, np.sqrt(10.)) +
+                stats.gamma.logpdf(s, 2., scale=1 / 2.) +
+                stats.norm.logpdf(y, mu, np.sqrt(s)).sum())
+    assert np.isclose(result, expected, rtol=1e-6)
+
+
+def test_draw_samples_ancestral():
+    m = make_simple_model()
+    env = fill_constants(m, {})
+    samples = m.draw_samples(env, jax.random.PRNGKey(0), num_samples=7)
+    assert samples[m.y.uuid].shape == (7, 5, 1)
+    assert samples[m.mu.uuid].shape == (7, 1)
+    # observed output is skipped
+    env2 = fill_constants(m, {m.y.uuid: jnp.zeros((1, 5, 1))})
+    samples2 = m.draw_samples(env2, jax.random.PRNGKey(0), num_samples=3)
+    assert m.y.uuid not in samples2
+
+
+def test_partially_observed_factor_raises():
+    m = Model()
+    m.x = Normal.define_variable(mean=0., variance=1., shape=(2,))
+    env = fill_constants(m, {m.x.uuid: jnp.zeros((1, 2))})
+    # all outputs observed -> factor skipped, no error
+    m.draw_samples(env, jax.random.PRNGKey(0))
+
+
+def test_clone_preserves_uuids():
+    m = make_simple_model()
+    m2 = m.clone()
+    assert set(m2.components.keys()) == set(m.components.keys())
+    assert m2.y is not m.y
+    assert m2.y.uuid == m.y.uuid
+    assert m2.y.factor.uuid == m.y.factor.uuid
+    # cloned graph evaluates identically
+    env = fill_constants(m, {m.mu.uuid: jnp.ones((1, 1)),
+                             m.s.uuid: jnp.ones((1, 1)),
+                             m.y.uuid: jnp.zeros((1, 5, 1))})
+    assert np.isclose(float(m.log_pdf(dict(env))),
+                      float(m2.log_pdf(dict(env))))
+
+
+def test_posterior_replicate_on_access():
+    m = make_simple_model()
+    q = Posterior(m)
+    q_mu = q.mu
+    assert q_mu.uuid == m.mu.uuid
+    assert q_mu is not m.mu
+    assert q_mu.graph is q.components_graph
+    # attach a posterior factor
+    q.mu.set_prior(Normal(mean=Variable(), variance=Variable(
+        transformation=PositiveTransformation())))
+    assert q.mu.factor is not None
+    assert m.mu.factor is not q.mu.factor
+
+
+def test_markov_blanket_and_descendants():
+    m = make_simple_model()
+    blanket = m.get_markov_blanket(m.mu)
+    blanket_uuids = {v.uuid for v in blanket}
+    assert m.y.uuid in {d.uuid for d in m.get_descendants(m.mu)}
+    # co-parent s is in mu's blanket through y's factor... mu's successors
+    # are broadcast_to operators; walk shows broadcast output as child
+    assert len(blanket_uuids) > 0
+
+
+def test_remove_subgraph_and_replace():
+    m = make_simple_model()
+    n_before = len(m.components)
+    new_var = Normal.define_variable(mean=5., variance=2., shape=(1,))
+    m.replace_subgraph(m.mu, new_var)
+    assert m.mu.factor.__class__.__name__ == "Normal"
+    # new prior's mean constant is 5
+    mean_const = dict(m.mu.factor.inputs)["mean"]
+    assert float(np.asarray(mean_const.constant)) == 5.0
+
+
+def test_get_parameters_and_constants():
+    m = Model()
+    m.w = Variable(shape=(3,), transformation=PositiveTransformation())
+    m.c = Variable(value=np.ones((2, 2)))
+    m.x = Normal.define_variable(mean=0., variance=1., shape=(3,))
+    params = m.get_parameters()
+    assert [v.uuid for v in params] == [m.w.uuid]
+    consts = m.get_constants()
+    const_uuids = {v.uuid for v in consts}
+    assert m.c.uuid in const_uuids
+
+
+def test_reconcile_simple_model():
+    m1 = make_simple_model()
+    json_graph = m1.as_json()
+    # "reload": build the same model fresh (new UUIDs), reconcile
+    m2 = make_simple_model()
+    skeletons = FactorGraph.load_graphs_json([json_graph])
+    uuid_map = FactorGraph.reconcile_graphs([m2], skeletons[0])
+    assert uuid_map[m1.mu.uuid] == m2.mu.uuid
+    assert uuid_map[m1.s.uuid] == m2.s.uuid
+    assert uuid_map[m1.y.uuid] == m2.y.uuid
+    assert uuid_map[m1.y.factor.uuid] == m2.y.factor.uuid
+
+
+def test_reconcile_model_and_posterior():
+    def build():
+        m = make_simple_model()
+        from mxfusion_tpu.inference import create_Gaussian_meanfield
+        q = create_Gaussian_meanfield(model=m, observed=[m.y])
+        return m, q
+    m1, q1 = build()
+    m2, q2 = build()
+    skels = FactorGraph.load_graphs_json([m1.as_json(), q1.as_json()])
+    uuid_map = FactorGraph.reconcile_graphs([m2, q2], skels[0], skels[1:])
+    assert uuid_map[m1.mu.uuid] == m2.mu.uuid
+    q1_mean = dict(q1.mu.factor.inputs)["mean"]
+    q2_mean = dict(q2.mu.factor.inputs)["mean"]
+    assert uuid_map[q1_mean.uuid] == q2_mean.uuid
+
+
+def test_operator_sugar_builds_factors():
+    m = Model()
+    m.a = Variable(shape=(2,))
+    m.b = Variable(shape=(2,))
+    m.c = m.a + m.b * 2.0
+    env = fill_constants(m, {m.a.uuid: jnp.asarray([[1.0, 2.0]]),
+                             m.b.uuid: jnp.asarray([[3.0, 4.0]])})
+    samples = m.draw_samples(env, jax.random.PRNGKey(0))
+    assert np.allclose(np.asarray(samples[m.c.uuid]), [[7.0, 10.0]])
