@@ -1,0 +1,108 @@
+"""Benchmark: SVGP regression minibatch SVI throughput (BASELINE.json
+config "SVGPRegression: 100k points, minibatch SVI").
+
+Measures jitted optimizer steps/sec of the full SVGP ELBO + adam update
+(batch 1024, 128 inducing points, D=8, float32) on the available
+accelerator. The fused Pallas RBF kernel-matrix path is active on TPU
+for the Kuu/Kuf assembly.
+
+The reference (amzn/MXFusion) publishes no benchmark numbers
+(BASELINE.md). ``vs_baseline`` is reported against a fixed nominal
+estimate of the reference's throughput on this config (MXNet CPU,
+~25 steps/s, estimated from the FLOP count and typical MXNet CPU GEMM
+rates) so the value is comparable across rounds.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_ESTIMATE_STEPS_PER_SEC = 25.0
+
+N_TOTAL = 100_000
+BATCH = 1024
+M_INDUCING = 128
+D = 8
+WARMUP = 5
+STEPS = 50
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mxfusion_tpu import Model, Variable
+    from mxfusion_tpu.components.variables import PositiveTransformation
+    from mxfusion_tpu.components.distributions.gp.kernels import RBF
+    from mxfusion_tpu.modules import SVGPRegression
+    from mxfusion_tpu.inference import MAP, GradBasedInference, \
+        create_executor
+
+    rng = np.random.default_rng(0)
+    Xb = rng.random((BATCH, D)).astype(np.float32) * 4
+    Yb = (np.sin(Xb[:, :1]) +
+          rng.standard_normal((BATCH, 1)).astype(np.float32) * 0.1)
+    Z0 = rng.random((M_INDUCING, D)) * 4
+
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, D))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.1)
+    kernel = RBF(input_dim=D, variance=1.0, lengthscale=1.0)
+    m.Y = SVGPRegression.define_variable(
+        X=m.X, kernel=kernel, noise_var=m.noise_var, shape=(m.n, 1),
+        inducing_inputs=Variable(shape=(M_INDUCING, D),
+                                 initial_value=Z0))
+
+    alg = MAP(model=m, observed=[m.X, m.Y])
+    infr = GradBasedInference(inference_algorithm=alg)
+    infr.initialize(X=Xb, Y=Yb)
+    executor = create_executor(alg, infr.params,
+                               rv_scaling={m.Y.uuid: N_TOTAL / BATCH})
+
+    opt = optax.adam(1e-2)
+    trainable = dict(infr.params.trainable_params())
+    fixed = dict(infr.params.fixed_params())
+    opt_state = opt.init(trainable)
+
+    @jax.jit
+    def step(trainable, opt_state, key, X, Y):
+        def loss_fn(tr):
+            loss, loss_for_grad, _ = executor(tr, fixed, [X, Y], key)
+            return loss_for_grad, loss
+        (_, loss), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        updates, opt_state = opt.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss
+
+    Xj, Yj = jnp.asarray(Xb), jnp.asarray(Yb)
+    key = jax.random.PRNGKey(0)
+    for i in range(WARMUP):
+        key, sk = jax.random.split(key)
+        trainable, opt_state, loss = step(trainable, opt_state, sk, Xj, Yj)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        key, sk = jax.random.split(key)
+        trainable, opt_state, loss = step(trainable, opt_state, sk, Xj, Yj)
+    loss.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = STEPS / elapsed
+    print("device: {}, final loss: {:.2f}".format(
+        jax.devices()[0], float(loss)), file=sys.stderr)
+    print(json.dumps({
+        "metric": "svgp_svi_steps_per_sec_b1024_m128",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec /
+                             REFERENCE_ESTIMATE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,8 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 _USE_PALLAS = True
 _FORCE_INTERPRET = False  # tests flip this to exercise the kernel on CPU
 
-TILE_N = 256
-TILE_M = 256
+TILE_N = 128
+TILE_M = 128
 MAX_D = 512
 
 

@@ -1,0 +1,4 @@
+from .mesh import (DATA_AXIS, make_mesh, batch_sharding,
+                   replicated_sharding, shard_data, replicate_tree)
+from .data_parallel import (DataParallelBatchLoop, DataParallelMinibatchLoop,
+                            make_shard_map_step)

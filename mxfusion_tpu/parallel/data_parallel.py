@@ -1,0 +1,116 @@
+"""Data-parallel gradient loops over a device mesh.
+
+Primary path (GSPMD): observed data is sharded over the mesh's data
+axis, parameters are replicated, and the jitted step keeps *global
+view* semantics — the loss/grad program XLA compiles is identical math
+to single-device, partitioned across devices with psum/reduce-scatter
+collectives inserted automatically over ICI. Minibatch statistics
+(``rv_scaling``) therefore need NO adjustment.
+
+An explicit ``shard_map`` step is also provided (used by the multichip
+dry-run and available for cases where manual collective placement
+beats GSPMD).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, batch_sharding, replicated_sharding, \
+    shard_data, replicate_tree
+from ..inference.batch_loop import BatchInferenceLoop, make_optimizer
+from ..inference.minibatch_loop import MinibatchInferenceLoop
+
+
+class DataParallelBatchLoop(BatchInferenceLoop):
+    """Full-batch loop with data sharded over a mesh."""
+
+    def __init__(self, mesh, axis_name=DATA_AXIS):
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    def run(self, executor, params, data, **kwargs):
+        data = shard_data(self.mesh, data, self.axis_name)
+        for store in (params.param_dict,):
+            replicated = replicate_tree(self.mesh, dict(store))
+            store.update(replicated)
+        kwargs.pop("data_sharding", None)
+        return super().run(executor, params, data, **kwargs)
+
+
+class DataParallelMinibatchLoop(MinibatchInferenceLoop):
+    """Minibatch loop whose batches are sharded over the mesh.
+
+    The global batch of size B is split across devices (B must divide
+    by the mesh size); ``rv_scaling`` stays N/B exactly as in the
+    single-device case because the jitted step sees the global batch.
+    """
+
+    def __init__(self, mesh, batch_size=100, rv_scaling=None,
+                 axis_name=DATA_AXIS):
+        super().__init__(batch_size=batch_size, rv_scaling=rv_scaling)
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    def run(self, executor, params, data, **kwargs):
+        shardings = [batch_sharding(self.mesh, np.asarray(d).ndim,
+                                    self.axis_name) for d in data]
+        replicated = replicate_tree(self.mesh, dict(params.param_dict))
+        params.param_dict.update(replicated)
+        kwargs["data_sharding"] = shardings
+        return super().run(executor, params, data, **kwargs)
+
+
+def make_shard_map_step(executor, mesh, optimizer, learning_rate,
+                        axis_name=DATA_AXIS):
+    """Explicit shard_map training step (manual collective placement).
+
+    Each device runs the objective on its local data shard; gradients
+    and losses are ``pmean``-reduced over ICI; the optimizer update runs
+    replicated. For objectives whose likelihood is a data sum (SVI,
+    SVGP), create the executor with ``rv_scaling`` multiplied by the
+    mesh size so per-shard losses average to prior + full likelihood.
+
+    Per-shard Monte-Carlo sampling folds the shard index into the step
+    key, so shards draw independent latent samples — a valid (and
+    lower-variance) estimator of the same reparameterized objective.
+
+    Module caches (aux/SET_ writebacks) are not threaded through this
+    step; use the GSPMD loops for cached-prediction workflows.
+    """
+    opt = make_optimizer(optimizer, learning_rate)
+    from jax.experimental.shard_map import shard_map
+
+    def local_loss(tr, fx, data, key):
+        loss, loss_for_grad, _aux = executor(tr, fx, list(data), key)
+        return loss_for_grad, loss
+
+    def step(trainable, fixed, opt_state, key, data):
+        def shard_fn(tr, fx, opt_state, key, *data_shards):
+            idx = jax.lax.axis_index(axis_name)
+            key = jax.random.fold_in(key, idx)
+            (_, loss), grads = jax.value_and_grad(
+                local_loss, has_aux=True)(tr, fx, data_shards, key)
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            updates, new_opt_state = opt.update(grads, opt_state, tr)
+            new_tr = optax.apply_updates(tr, updates)
+            return new_tr, new_opt_state, loss
+
+        in_specs = (
+            jax.tree_util.tree_map(lambda _: P(), trainable),
+            jax.tree_util.tree_map(lambda _: P(), fixed),
+            jax.tree_util.tree_map(lambda _: P(), opt_state),
+            P(),
+        ) + tuple(P(axis_name) for _ in data)
+        out_specs = (
+            jax.tree_util.tree_map(lambda _: P(), trainable),
+            jax.tree_util.tree_map(lambda _: P(), opt_state),
+            P(),
+        )
+        fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+        return fn(trainable, fixed, opt_state, key, *data)
+
+    return jax.jit(step), opt

@@ -1,0 +1,57 @@
+"""Device mesh helpers.
+
+The reference has no distributed layer at all (SURVEY §2.11: no
+NCCL/MPI/KVStore anywhere). This package is the TPU-native scaling
+component: a ``jax.sharding.Mesh`` over ICI, data sharded by
+``NamedSharding`` annotations, and XLA/GSPMD inserting the collectives
+(psum over gradients and reductions) — the "annotate shardings, let the
+compiler partition" recipe.
+"""
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices=None, axis_name=DATA_AXIS, devices=None):
+    """1-D mesh over the first ``n_devices`` (default: all)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh, ndim, axis_name=DATA_AXIS):
+    """Shard axis 0 (the data/batch axis) over the mesh; replicate rest."""
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_data(mesh, arrays, axis_name=DATA_AXIS):
+    """Place a list of host arrays on the mesh, batch axis sharded.
+
+    Arrays whose leading dim does not divide the mesh size are
+    replicated instead (e.g. scalars / small side inputs).
+    """
+    n = mesh.devices.size
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        if a.ndim >= 1 and a.shape[0] % n == 0:
+            out.append(jax.device_put(
+                a, batch_sharding(mesh, a.ndim, axis_name)))
+        else:
+            out.append(jax.device_put(a, replicated_sharding(mesh)))
+    return out
+
+
+def replicate_tree(mesh, tree):
+    """Replicate a pytree of arrays across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), tree)
