@@ -40,7 +40,7 @@ class GradBasedInference(Inference):
     def run(self, optimizer="adam", learning_rate=1e-3, max_iter=2000,
             verbose=False, key=None, callback=None, data_sharding=None,
             **kwargs):
-        data = [np.asarray(kwargs[n]) for n in self.observed_variable_names]
+        data = [np.asarray(d) for d in self._fetch_observed(kwargs)]
         is_minibatch = isinstance(self._grad_loop, MinibatchInferenceLoop)
         if is_minibatch:
             self._bind_minibatch_shapes(data)
@@ -78,7 +78,7 @@ class GradTransferInference(GradBasedInference, TransferInference):
 
     def run(self, optimizer="adam", learning_rate=1e-3, max_iter=2000,
             verbose=False, key=None, callback=None, **kwargs):
-        data = [np.asarray(kwargs[n]) for n in self.observed_variable_names]
+        data = [np.asarray(d) for d in self._fetch_observed(kwargs)]
         self.initialize(key=key, **kwargs)
         executor = create_executor(self._algorithm, self.params)
         return self._grad_loop.run(

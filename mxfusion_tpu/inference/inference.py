@@ -67,12 +67,23 @@ class Inference:
                                             np.asarray(arr)))
         return "\n".join(out)
 
+    def _fetch_observed(self, kwargs):
+        missing = [n for n in self.observed_variable_names
+                   if n not in kwargs]
+        if missing:
+            from ..common.exceptions import InferenceError
+            raise InferenceError(
+                "Missing observed data for variable(s) {}; pass them as "
+                "keyword arguments, e.g. run({}=...).".format(
+                    missing, missing[0]))
+        return [kwargs[n] for n in self.observed_variable_names]
+
     # ------------------------------------------------------------------
     def initialize(self, key=None, **kwargs):
         """Bind data shapes and allocate parameters (reference :126-156)."""
         if self._initialized:
             warnings.warn("Inference already initialized; reinitializing.")
-        data = [kwargs[n] for n in self.observed_variable_names]
+        data = self._fetch_observed(kwargs)
         data_shapes = {uuid: tuple(np.shape(d)) for uuid, d in
                        zip(self.observed_variable_UUIDs, data)}
         shape_constants = discover_shape_constants(data_shapes, self.graphs)
@@ -83,7 +94,7 @@ class Inference:
 
     def run(self, key=None, **kwargs):
         """Initialize (if needed) and execute the algorithm once."""
-        data = [np.asarray(kwargs[n]) for n in self.observed_variable_names]
+        data = [np.asarray(d) for d in self._fetch_observed(kwargs)]
         if not self._initialized:
             self.initialize(key=key, **kwargs)
         if key is None:
@@ -166,7 +177,7 @@ class TransferInference(Inference):
         self._fix_carryover = fix_carryover
 
     def initialize(self, key=None, **kwargs):
-        data = [kwargs[n] for n in self.observed_variable_names]
+        data = self._fetch_observed(kwargs)
         data_shapes = {uuid: tuple(np.shape(d)) for uuid, d in
                        zip(self.observed_variable_UUIDs, data)}
         shape_constants = discover_shape_constants(data_shapes, self.graphs)

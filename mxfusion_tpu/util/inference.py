@@ -48,18 +48,20 @@ def discover_shape_constants(data_shapes, graphs):
     for uuid, concrete in data_shapes.items():
         if uuid not in all_vars:
             continue
-        declared = all_vars[uuid].shape
+        var = all_vars[uuid]
+        label = var.name if var.name else uuid
+        declared = var.shape
         if len(declared) != len(concrete):
             raise ModelSpecificationError(
-                "Observed data for {} has rank {} but the variable was "
-                "declared with rank {}.".format(uuid, len(concrete),
-                                                len(declared)))
+                "Observed data for variable '{}' has rank {} but the "
+                "variable was declared with rank {}.".format(
+                    label, len(concrete), len(declared)))
         for d, c in zip(declared, concrete):
             if isinstance(d, int):
                 if d != c:
                     raise ModelSpecificationError(
-                        "Shape mismatch for {}: declared {} got {}.".format(
-                            uuid, declared, concrete))
+                        "Shape mismatch for variable '{}': declared {} "
+                        "got {}.".format(label, declared, concrete))
             else:
                 prev = shape_constants.get(d.uuid)
                 if prev is not None and prev != c:

@@ -1,0 +1,28 @@
+"""Smoke-run every example script (MXF_SMOKE trims iterations)."""
+import os
+import runpy
+import sys
+
+import pytest
+
+EXAMPLES = [
+    "getting_started.py",
+    "ppca_tutorial.py",
+    "bnn_regression.py",
+    "bnn_classification.py",
+    "gp_regression.py",
+    "svgp_regression.py",
+    "variational_auto_encoder.py",
+    "writing_a_new_distribution.py",
+    "pilco/pilco_example.py",
+    "data_parallel_svi.py",
+]
+
+ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
+
+
+@pytest.mark.parametrize("script", EXAMPLES)
+def test_example_runs(script, monkeypatch):
+    monkeypatch.setenv("MXF_SMOKE", "1")
+    path = os.path.join(ROOT, script)
+    runpy.run_path(path, run_name="__main__")
