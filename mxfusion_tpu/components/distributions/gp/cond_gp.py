@@ -16,6 +16,7 @@ import jax.scipy.linalg as jsl
 
 from ..distribution import Distribution
 from ...variables.variable import Variable
+from ....ops.precision import einsum as p_einsum
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -57,8 +58,8 @@ class ConditionalGaussianProcess(Distribution):
         # A = Lz^{-1} K_zx : (..., M, N)
         A = jsl.solve_triangular(Lz, jnp.swapaxes(Kxz, -1, -2), lower=True)
         LinvY = jsl.solve_triangular(Lz, Y_cond, lower=True)  # (..., M, Dout)
-        mean = jnp.einsum("...mn,...md->...nd", A, LinvY)
-        cov = Kxx - jnp.einsum("...mn,...mk->...nk", A, A)
+        mean = p_einsum("...mn,...md->...nd", A, LinvY)
+        cov = Kxx - p_einsum("...mn,...mk->...nk", A, A)
         if self.has_mean:
             mean = mean + inputs["mean"]
         return mean, cov
@@ -85,7 +86,7 @@ class ConditionalGaussianProcess(Distribution):
         L = jnp.linalg.cholesky(cov)
         eps = self._rand_gen.sample_normal(
             key, shape=(num_samples,) + rv_shape, dtype=self.dtype)
-        return mean + jnp.einsum("...ij,...jk->...ik", L, eps)
+        return mean + p_einsum("...ij,...jk->...ik", L, eps)
 
     def _generate_outputs(self, shape):
         if shape is None:

@@ -14,6 +14,7 @@ from ..distribution import Distribution
 from ...variables.variable import Variable
 from ...variables.runtime_variable import arrays_as_samples
 from ....util.inference import realize_shape
+from ....ops.precision import einsum as p_einsum
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -68,7 +69,7 @@ class GaussianProcess(Distribution):
         L = jnp.linalg.cholesky(K)
         eps = self._rand_gen.sample_normal(
             key, shape=(num_samples,) + rv_shape, dtype=self.dtype)
-        out = jnp.einsum("...ij,...jk->...ik", L, eps)
+        out = p_einsum("...ij,...jk->...ik", L, eps)
         if self.has_mean:
             out = out + inputs["mean"]
         return out

@@ -6,6 +6,7 @@ linear.py:21-111. ``K = X diag(v) X2ᵀ`` — one batched matmul on the MXU.
 import jax.numpy as jnp
 
 from .kernel import NativeKernel
+from .....ops.precision import einsum as p_einsum
 
 
 class Linear(NativeKernel):
@@ -21,7 +22,7 @@ class Linear(NativeKernel):
         v = jnp.expand_dims(variances, axis=-2)  # (..., 1, D) or (..., 1, 1)
         Xv = X * v
         X2_ = X if X2 is None else X2
-        return jnp.einsum("...nd,...md->...nm", Xv, X2_)
+        return p_einsum("...nd,...md->...nm", Xv, X2_)
 
     def _compute_Kdiag(self, X, variances=None):
         v = jnp.expand_dims(variances, axis=-2)

@@ -10,6 +10,7 @@ path for the full (R² → amplitude) pipeline lives in
 import jax.numpy as jnp
 
 from .kernel import NativeKernel
+from .....ops.precision import einsum as p_einsum
 
 
 class StationaryKernel(NativeKernel):
@@ -34,7 +35,7 @@ class StationaryKernel(NativeKernel):
             X2s = X2 / ls
         x1sq = jnp.sum(jnp.square(Xs), axis=-1)
         x2sq = jnp.sum(jnp.square(X2s), axis=-1)
-        cross = jnp.einsum("...nd,...md->...nm", Xs, X2s)
+        cross = p_einsum("...nd,...md->...nm", Xs, X2s)
         R2 = x1sq[..., :, None] + x2sq[..., None, :] - 2.0 * cross
         return jnp.maximum(R2, 0.0)
 

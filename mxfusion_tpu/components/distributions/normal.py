@@ -18,6 +18,7 @@ import jax.scipy.linalg as jsl
 
 from .distribution import Distribution, UnivariateDistribution
 from ..variables.variable import Variable
+from ...ops.precision import einsum as p_einsum
 
 
 LOG2PI = float(np.log(2.0 * np.pi))
@@ -76,7 +77,7 @@ class MultivariateNormal(Distribution):
         L = jnp.linalg.cholesky(covariance)
         eps = self._rand_gen.sample_normal(
             key, shape=(num_samples,) + rv_shape, dtype=self.dtype)
-        return mean + jnp.einsum("...ij,...j->...i", L, eps)
+        return mean + p_einsum("...ij,...j->...i", L, eps)
 
     @classmethod
     def define_variable(cls, mean, covariance, shape=None, rand_gen=None,
@@ -141,7 +142,7 @@ class MultivariateNormalMeanPrecision(Distribution):
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
                                axis=-1)
         diff = random_variable - mean
-        quad = jnp.einsum("...i,...ij,...j->...", diff, precision, diff)
+        quad = p_einsum("...i,...ij,...j->...", diff, precision, diff)
         return 0.5 * (logdet - D * LOG2PI - quad)
 
     def draw_samples_impl(self, rv_shape, num_samples, key, mean, precision):

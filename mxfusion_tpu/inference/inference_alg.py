@@ -170,7 +170,12 @@ def _make_env_builder(algorithm, params, rv_scaling=None):
         env = VariableEnv()
         for uuid, v in constants.items():
             if hasattr(v, "shape") or isinstance(v, float):
-                env[uuid] = jnp.expand_dims(jnp.asarray(v), axis=0)
+                arr = jnp.asarray(v)
+                if arr.ndim == 0:
+                    # scalar constants get an event dim so the sample
+                    # axis stays unambiguous: (1, 1), not (1,)
+                    arr = arr.reshape(1)
+                env[uuid] = jnp.expand_dims(arr, axis=0)
             else:
                 # python ints are shape constants: stay static under jit
                 env[uuid] = v

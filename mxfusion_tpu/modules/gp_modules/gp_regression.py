@@ -24,6 +24,7 @@ from ...inference.variational import VariationalInference
 from ...inference.inference_alg import SamplingAlgorithm
 from ...util.inference import realize_shape
 from ...ops.linalg import broadcast_to_w_samples
+from ...ops.precision import einsum as p_einsum
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -103,7 +104,7 @@ class GPRegressionSampling(SamplingAlgorithm):
         die = self._rand_gen.sample_normal(
             ctx.next_key(), shape=out_shape,
             dtype=self.model.F.factor.dtype)
-        y_samples = jnp.einsum("...ij,...jk->...ik", L, die)
+        y_samples = p_einsum("...ij,...jk->...ik", L, die)
         if has_mean:
             y_samples = y_samples + env[self.model.mean]
         samples = {self.model.Y.uuid: y_samples}
@@ -138,7 +139,7 @@ class GPRegressionMeanVariancePrediction(SamplingAlgorithm):
             [X, noise_var, X_cond, L, LinvY, kern_params])
         Kxt = kern.K(X_cond, X, **kern_params)
         LinvKxt = jsl.solve_triangular(L, Kxt, lower=True)
-        mu = jnp.einsum("...mn,...md->...nd", LinvKxt, LinvY)
+        mu = p_einsum("...mn,...md->...nd", LinvKxt, LinvY)
         if has_mean:
             mu = mu + env[self.model.mean]
         if self.diagonal_variance:
@@ -148,7 +149,7 @@ class GPRegressionMeanVariancePrediction(SamplingAlgorithm):
                 var = var + noise_var
         else:
             Ktt = kern.K(X, **kern_params)
-            var = Ktt - jnp.einsum("...mn,...mk->...nk", LinvKxt, LinvKxt)
+            var = Ktt - p_einsum("...mn,...mk->...nk", LinvKxt, LinvKxt)
             if not self.noise_free:
                 var = var + jnp.expand_dims(
                     jnp.eye(N, dtype=X.dtype), axis=0) * \
@@ -195,7 +196,7 @@ class GPRegressionSamplingPrediction(GPRegressionMeanVariancePrediction):
             die = self._rand_gen.sample_normal(
                 ctx.next_key(), shape=out_shape,
                 dtype=self.model.F.factor.dtype)
-            samples = mu + jnp.einsum("...ij,...jk->...ik", L, die)
+            samples = mu + p_einsum("...ij,...jk->...ik", L, die)
         outcomes = {self.model.Y.uuid: samples}
         if self.target_variables:
             return tuple(outcomes[v] for v in self.target_variables)

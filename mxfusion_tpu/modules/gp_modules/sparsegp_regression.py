@@ -25,6 +25,7 @@ from ...inference.variational import VariationalInference
 from ...inference.inference_alg import SamplingAlgorithm
 from ...inference.forward_sampling import ForwardSamplingAlgorithm
 from ...ops.linalg import broadcast_to_w_samples
+from ...ops.precision import einsum as p_einsum
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -63,14 +64,14 @@ class SparseGPRegressionLogPdf(VariationalInference):
         L = jnp.linalg.cholesky(Kuu)
         LinvKuf = jsl.solve_triangular(L, Kuf, lower=True)
 
-        A = eye_m + jnp.einsum("...mn,...kn->...mk",
+        A = eye_m + p_einsum("...mn,...kn->...mk",
                                LinvKuf, LinvKuf) / noise_var_m
         LA = jnp.linalg.cholesky(A)
 
         if has_mean:
             Y = Y - env[self.model.mean]
         LAInvLinvKufY = jsl.solve_triangular(
-            LA, jnp.einsum("...mn,...nd->...md", LinvKuf, Y), lower=True)
+            LA, p_einsum("...mn,...nd->...md", LinvKuf, Y), lower=True)
 
         sumlogdiag_LA = jnp.sum(jnp.log(
             jnp.diagonal(LA, axis1=-2, axis2=-1)), axis=-1)
@@ -124,7 +125,7 @@ class SparseGPRegressionMeanVariancePrediction(SamplingAlgorithm):
             [X, Z, noise_var, L, LA, wv, kern_params])
 
         Kxt = kern.K(Z, X, **kern_params)
-        mu = jnp.einsum("...mn,...md->...nd", Kxt, wv)
+        mu = p_einsum("...mn,...md->...nd", Kxt, wv)
         if has_mean:
             mu = mu + env[self.model.mean]
         LinvKxt = jsl.solve_triangular(L, Kxt, lower=True)
@@ -138,8 +139,8 @@ class SparseGPRegressionMeanVariancePrediction(SamplingAlgorithm):
         else:
             Ktt = kern.K(X, **kern_params)
             var = Ktt - \
-                jnp.einsum("...mn,...mk->...nk", LinvKxt, LinvKxt) + \
-                jnp.einsum("...mn,...mk->...nk", LAinvLinvKxt,
+                p_einsum("...mn,...mk->...nk", LinvKxt, LinvKxt) + \
+                p_einsum("...mn,...mk->...nk", LAinvLinvKxt,
                            LAinvLinvKxt)
             if not self.noise_free:
                 var = var + jnp.expand_dims(
@@ -188,7 +189,7 @@ class SparseGPRegressionSamplingPrediction(
             die = self._rand_gen.sample_normal(
                 ctx.next_key(), shape=out_shape,
                 dtype=self.model.F.factor.dtype)
-            samples = mu + jnp.einsum("...ij,...jk->...ik", Lc, die)
+            samples = mu + p_einsum("...ij,...jk->...ik", Lc, die)
         outcomes = {self.model.Y.uuid: samples}
         if self.target_variables:
             return tuple(outcomes[v] for v in self.target_variables)

@@ -31,6 +31,7 @@ from ...inference.variational import VariationalInference
 from ...inference.inference_alg import SamplingAlgorithm
 from ...inference.forward_sampling import ForwardSamplingAlgorithm
 from ...ops.linalg import make_diagonal, broadcast_to_w_samples
+from ...ops.precision import einsum as p_einsum
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -76,21 +77,21 @@ class SVGPRegressionLogPdf(VariationalInference):
         Kuf = kern.K(Z, X, **kern_params)
         Kff_diag = kern.Kdiag(X, **kern_params)
 
-        S = jnp.einsum("...ik,...jk->...ij", S_W, S_W) + \
+        S = p_einsum("...ik,...jk->...ij", S_W, S_W) + \
             make_diagonal(S_diag)
 
         if has_mean:
             Y = Y - env[self.model.mean]
 
-        psi1Y = jnp.einsum("...mn,...nd->...md", Kuf, Y / noise_var)
+        psi1Y = p_einsum("...mn,...nd->...md", Kuf, Y / noise_var)
         L = jnp.linalg.cholesky(Kuu)
         Ls = jnp.linalg.cholesky(S)
         LinvLs = jsl.solve_triangular(L, Ls, lower=True)
         Linvmu = jsl.solve_triangular(L, mu, lower=True)
         LinvKuf = jsl.solve_triangular(L, Kuf, lower=True)
 
-        KfuKuuInvmu = jnp.einsum("...mn,...md->...nd", LinvKuf, Linvmu)
-        KfuKuuInvLs = jnp.einsum("...mn,...mk->...nk", LinvKuf, LinvLs)
+        KfuKuuInvmu = p_einsum("...mn,...md->...nd", LinvKuf, Linvmu)
+        KfuKuuInvLs = p_einsum("...mn,...mk->...nk", LinvKuf, LinvLs)
         LinvKufY = jsl.solve_triangular(L, psi1Y, lower=True)
 
         sumlogdiag_Ls = jnp.sum(jnp.log(
@@ -146,7 +147,7 @@ class SVGPRegressionMeanVariancePrediction(SamplingAlgorithm):
             arrays_as_samples(
                 [X, Z, noise_var, qU_mean, S_W, S_diag, kern_params])
 
-        S = jnp.einsum("...ik,...jk->...ij", S_W, S_W) + \
+        S = p_einsum("...ik,...jk->...ij", S_W, S_W) + \
             make_diagonal(S_diag)
         eye_m = jnp.expand_dims(jnp.eye(M, dtype=Z.dtype), axis=0)
         Kuu = kern.K(Z, **kern_params)
@@ -156,17 +157,17 @@ class SVGPRegressionMeanVariancePrediction(SamplingAlgorithm):
         Ls = jnp.linalg.cholesky(S)
         LinvLs = jsl.solve_triangular(L, Ls, lower=True)
         Linvmu = jsl.solve_triangular(L, qU_mean, lower=True)
-        LinvSLinvT = jnp.einsum("...ik,...jk->...ij", LinvLs, LinvLs)
+        LinvSLinvT = p_einsum("...ik,...jk->...ij", LinvLs, LinvLs)
         wv = jsl.solve_triangular(L, Linvmu, lower=True, trans="T")
 
         Kxt = kern.K(Z, X, **kern_params)
-        mu = jnp.einsum("...mn,...md->...nd", Kxt, wv)
+        mu = p_einsum("...mn,...md->...nd", Kxt, wv)
         if has_mean:
             mu = mu + env[self.model.mean]
         LinvKxt = jsl.solve_triangular(L, Kxt, lower=True)
         if self.diagonal_variance:
             Ktt = kern.Kdiag(X, **kern_params)
-            tmp = jnp.einsum("...mk,...kn->...mn", LinvSLinvT, LinvKxt)
+            tmp = p_einsum("...mk,...kn->...mn", LinvSLinvT, LinvKxt)
             var = Ktt - jnp.sum(jnp.square(LinvKxt), axis=-2) + \
                 jnp.sum(tmp * LinvKxt, axis=-2)
             var = jnp.expand_dims(var, axis=-1)
@@ -174,10 +175,10 @@ class SVGPRegressionMeanVariancePrediction(SamplingAlgorithm):
                 var = var + noise_var
         else:
             Ktt = kern.K(X, **kern_params)
-            tmp = jnp.einsum("...mk,...kn->...mn", LinvSLinvT, LinvKxt)
+            tmp = p_einsum("...mk,...kn->...mn", LinvSLinvT, LinvKxt)
             var = Ktt - \
-                jnp.einsum("...mn,...mk->...nk", LinvKxt, LinvKxt) + \
-                jnp.einsum("...mn,...mk->...nk", LinvKxt, tmp)
+                p_einsum("...mn,...mk->...nk", LinvKxt, LinvKxt) + \
+                p_einsum("...mn,...mk->...nk", LinvKxt, tmp)
             if not self.noise_free:
                 var = var + jnp.expand_dims(
                     jnp.eye(N, dtype=X.dtype), axis=0) * \
@@ -220,7 +221,7 @@ class SVGPRegressionSamplingPrediction(SVGPRegressionMeanVariancePrediction):
             die = self._rand_gen.sample_normal(
                 ctx.next_key(), shape=out_shape,
                 dtype=self.model.F.factor.dtype)
-            samples = mu + jnp.einsum("...ij,...jk->...ik", Lc, die)
+            samples = mu + p_einsum("...ij,...jk->...ik", Lc, die)
         outcomes = {self.model.Y.uuid: samples}
         if self.target_variables:
             return tuple(outcomes[v] for v in self.target_variables)

@@ -74,6 +74,18 @@ class Module(Factor):
         self._module_graph, self._extra_graphs = self._build_module_graphs()
         self._attach_default_inference_algorithms()
 
+    def expose_hidden_parameters_as_input(self, name, variable):
+        """Expose an internal-graph variable as a module input so users
+        can place priors on it / share it (reference module.py:127-139)."""
+        if name in self.input_names:
+            raise ModelSpecificationError(
+                "Module {} already has an input named {}.".format(self,
+                                                                  name))
+        v = variable.replicate_self()
+        self.input_names.append(name)
+        self.add_predecessor(name, v)
+        return v
+
     # ------------------------------------------------------------------
     # hidden parameters
     # ------------------------------------------------------------------

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from .precision import einsum as p_einsum
 
 _USE_PALLAS = True
 _FORCE_INTERPRET = False  # tests flip this to exercise the kernel on CPU
@@ -79,9 +80,12 @@ def _rbf_block_kernel(x_ref, x2_ref, ls_ref, var_ref, out_ref):
     ls = ls_ref[:]                     # (1, D)
     x = x_ref[:] / ls                  # (TILE_N, D)
     x2 = x2_ref[:] / ls                # (TILE_M, D)
+    # HIGHEST precision: full-f32 MXU passes — bf16 inputs would put
+    # ~1e-2 error on K and destabilize the downstream Cholesky
     cross = jax.lax.dot_general(
         x, x2, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (TILE_N, TILE_M)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)         # (TILE_N, TILE_M)
     xsq = jnp.sum(x * x, axis=1, keepdims=True)      # (TILE_N, 1)
     x2sq = jnp.sum(x2 * x2, axis=1, keepdims=True)   # (TILE_M, 1)
     r2 = jnp.maximum(xsq + jnp.transpose(x2sq) - 2.0 * cross, 0.0)
@@ -123,7 +127,7 @@ def _rbf_jnp(X, X2, lengthscale, variance):
     X2s = Xs if X2 is None else X2 / ls
     x1sq = jnp.sum(jnp.square(Xs), axis=-1)
     x2sq = jnp.sum(jnp.square(X2s), axis=-1)
-    cross = jnp.einsum("...nd,...md->...nm", Xs, X2s)
+    cross = p_einsum("...nd,...md->...nm", Xs, X2s)
     R2 = jnp.maximum(x1sq[..., :, None] + x2sq[..., None, :] - 2.0 * cross,
                      0.0)
     return jnp.expand_dims(variance, axis=-1) * jnp.exp(-0.5 * R2)

@@ -23,6 +23,32 @@ def make_mesh(n_devices=None, axis_name=DATA_AXIS, devices=None):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(data_size, model_size, data_axis=DATA_AXIS,
+                 model_axis="model", devices=None):
+    """2-D (data × model) mesh for combined data/model sharding, e.g.
+    sharding the inducing-point axis of very large SVGP models along
+    ``model`` while batching along ``data``."""
+    if devices is None:
+        devices = jax.devices()
+    need = data_size * model_size
+    grid = np.asarray(devices[:need]).reshape(data_size, model_size)
+    return Mesh(grid, (data_axis, model_axis))
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host (DCN) runtime init: thin wrapper over
+    ``jax.distributed.initialize``. On single-host this is a no-op; on a
+    multi-host TPU slice, call before any jax computation, then build
+    meshes over ``jax.devices()`` (all hosts' devices) as usual.
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+
+
 def batch_sharding(mesh, ndim, axis_name=DATA_AXIS):
     """Shard axis 0 (the data/batch axis) over the mesh; replicate rest."""
     return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))

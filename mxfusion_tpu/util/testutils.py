@@ -77,6 +77,19 @@ def make_bnn_model(net, data_x_shape, finalize=True):
     return m
 
 
+def check_sampling_univariate(samples, cdf, min_pvalue=0.01):
+    """Distributional sampling check: KS test of samples against a CDF.
+
+    The matplotlib histogram-vs-pdf checks the reference ships
+    (testutils.py:163-218) become a quantitative Kolmogorov–Smirnov
+    test here (no plotting dependency).
+    """
+    from scipy import stats
+    s = np.asarray(samples).ravel()
+    _, pvalue = stats.kstest(s, cdf)
+    return pvalue > min_pvalue
+
+
 def sample_moment_check(samples, mean, variance, rtol=0.1, atol=0.1):
     """Check empirical moments of samples against analytic values."""
     s = np.asarray(samples)

@@ -25,8 +25,10 @@ def fill_constants(graph, env):
     """Populate env with the graph's constant values (the executor's job
     in real runs)."""
     for v in graph.get_constants():
-        env[v.uuid] = jnp.expand_dims(jnp.asarray(v.constant,
-                                                  dtype=jnp.float64), 0)
+        arr = jnp.asarray(v.constant, dtype=jnp.float64)
+        if arr.ndim == 0:
+            arr = arr.reshape(1)
+        env[v.uuid] = jnp.expand_dims(arr, 0)
     return env
 
 
