@@ -16,9 +16,12 @@ distributions/distribution.py:56-153):
 Everything here is trace-transparent: under ``jax.jit`` the env holds
 tracers and all shape logic is static Python.
 """
+import jax.numpy as jnp
+
 from ..factor import Factor
 from ..variables.variable import Variable
-from ..variables.runtime_variable import arrays_as_samples
+from ..variables.runtime_variable import (arrays_as_samples,
+                                          align_sample_arrays)
 from .random_gen import default_rand_gen
 from ...common.config import get_default_dtype
 from ...util.inference import realize_shape
@@ -30,6 +33,9 @@ class Distribution(Factor):
     # Runtime output slot name; univariate/multivariate subclasses use
     # 'random_variable'.
     runtime_output_name = "random_variable"
+    # elementwise distributions right-align parameter event dims against
+    # the random variable (scalar params vs (N, 1) values)
+    _elementwise = False
 
     def __init__(self, inputs, outputs, input_names, output_names,
                  rand_gen=None, dtype=None):
@@ -57,6 +63,8 @@ class Distribution(Factor):
         inputs = self.fetch_runtime_inputs(env)
         rv = env[self.random_variable.uuid]
         broadcast = arrays_as_samples(list(inputs.values()) + [rv])
+        if self._elementwise:
+            broadcast = align_sample_arrays(broadcast)
         named = dict(zip(inputs.keys(), broadcast[:-1]))
         return self.log_pdf_impl(random_variable=broadcast[-1], **named) \
             * self.log_pdf_scaling
@@ -70,6 +78,14 @@ class Distribution(Factor):
         inputs = self.fetch_runtime_inputs(env)
         rv_shape = realize_shape(self.random_variable.shape, env)
         broadcast = arrays_as_samples(list(inputs.values()))
+        if self._elementwise:
+            # align parameter event dims against the output event shape
+            rank = 1 + len(rv_shape)
+            broadcast = [
+                jnp.reshape(a, (a.shape[0],) + (1,) * (rank - a.ndim)
+                            + tuple(a.shape[1:]))
+                if hasattr(a, "ndim") and 1 <= a.ndim < rank else a
+                for a in broadcast]
         named = dict(zip(inputs.keys(), broadcast))
         return self.draw_samples_impl(rv_shape=rv_shape,
                                       num_samples=num_samples, key=key,
@@ -107,6 +123,8 @@ class UnivariateDistribution(Distribution):
 
     Reference: mxfusion/components/distributions/univariate.py:20-55.
     """
+
+    _elementwise = True
 
     def _generate_outputs(self, shape):
         self.set_outputs([Variable(shape=shape if shape is not None else (1,))])

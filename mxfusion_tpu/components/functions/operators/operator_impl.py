@@ -10,7 +10,14 @@ import jax.numpy as jnp
 
 from .operators import operator_definition, Operator
 from ...variables.variable import Variable
+from ...variables.runtime_variable import align_sample_arrays
 from ....util.inference import realize_shape
+
+
+def _aligned(x, y):
+    """Sample-aware elementwise alignment (see align_sample_arrays)."""
+    x, y = align_sample_arrays([x, y])
+    return x, y
 
 
 def _shift_axis(axis):
@@ -26,26 +33,31 @@ def _shift_axis(axis):
 
 @operator_definition(name="add", args=["x", "y"], inputs=["x", "y"])
 def add(x, y):
+    x, y = _aligned(x, y)
     return x + y
 
 
 @operator_definition(name="subtract", args=["x", "y"], inputs=["x", "y"])
 def subtract(x, y):
+    x, y = _aligned(x, y)
     return x - y
 
 
 @operator_definition(name="multiply", args=["x", "y"], inputs=["x", "y"])
 def multiply(x, y):
+    x, y = _aligned(x, y)
     return x * y
 
 
 @operator_definition(name="divide", args=["x", "y"], inputs=["x", "y"])
 def divide(x, y):
+    x, y = _aligned(x, y)
     return x / y
 
 
 @operator_definition(name="power", args=["x", "y"], inputs=["x", "y"])
 def power(x, y):
+    x, y = _aligned(x, y)
     return x ** y
 
 

@@ -51,6 +51,26 @@ def expectation(array):
     return jnp.mean(array, axis=0)
 
 
+def align_sample_arrays(arrays):
+    """Right-align event dims across arrays that share the sample axis.
+
+    Axis 0 is the sample axis; the remaining (event) dims broadcast
+    right-aligned, so an (s, 1) scalar aligns against (s, N, 1) values
+    as (s, 1, 1). Non-arrays pass through.
+    """
+    rank = 0
+    for a in arrays:
+        if hasattr(a, "ndim"):
+            rank = max(rank, a.ndim)
+    out = []
+    for a in arrays:
+        if hasattr(a, "ndim") and 1 <= a.ndim < rank:
+            a = jnp.reshape(a, (a.shape[0],) + (1,) * (rank - a.ndim)
+                            + tuple(a.shape[1:]))
+        out.append(a)
+    return out
+
+
 def arrays_as_samples(arrays):
     """Broadcast a list of arrays (or dicts of arrays) to a common sample count.
 

@@ -26,7 +26,8 @@ from ..inference.minibatch_loop import MinibatchInferenceLoop
 class DataParallelBatchLoop(BatchInferenceLoop):
     """Full-batch loop with data sharded over a mesh."""
 
-    def __init__(self, mesh, axis_name=DATA_AXIS):
+    def __init__(self, mesh, axis_name=DATA_AXIS, steps_per_call=1):
+        super().__init__(steps_per_call=steps_per_call)
         self.mesh = mesh
         self.axis_name = axis_name
 
