@@ -49,17 +49,18 @@ class MinibatchInferenceLoop(GradLoop):
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss, aux
 
-        rng = np.random.default_rng(0)
+        from ..native import gather_rows, shuffled_indices
         last_loss = None
         for e in range(max_iter):
-            perm = rng.permutation(N)
+            perm = shuffled_indices(N, seed=e)
             epoch_loss = 0.0
             for b in range(n_batches):
                 start = b * B
                 idx = perm[start:start + B]
                 if idx.shape[0] < B:  # rollover: pad from the front
                     idx = np.concatenate([idx, perm[:B - idx.shape[0]]])
-                batch = [jnp.asarray(d[idx]) for d in data]
+                # native threaded row gather (numpy fallback inside)
+                batch = [jnp.asarray(gather_rows(d, idx)) for d in data]
                 if data_sharding is not None:
                     batch = [jax.device_put(a, s)
                              for a, s in zip(batch, data_sharding)]

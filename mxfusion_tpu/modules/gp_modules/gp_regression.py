@@ -184,6 +184,8 @@ class GPRegressionSamplingPrediction(GPRegressionMeanVariancePrediction):
             die = self._rand_gen.sample_normal(
                 ctx.next_key(), shape=out_shape,
                 dtype=self.model.F.factor.dtype)
+            # clamp: tiny negative variances at training inputs (f32)
+            var = jnp.maximum(var, 0.0)
             samples = mu + die * jnp.sqrt(jnp.expand_dims(var, axis=-1))
         else:
             cov = var

@@ -177,6 +177,7 @@ class SparseGPRegressionSamplingPrediction(
             die = self._rand_gen.sample_normal(
                 ctx.next_key(), shape=out_shape,
                 dtype=self.model.F.factor.dtype)
+            var = jnp.maximum(var, 0.0)
             samples = mu + die * jnp.sqrt(jnp.expand_dims(var, axis=-1))
         else:
             cov = var

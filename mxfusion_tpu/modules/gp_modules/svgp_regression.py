@@ -212,6 +212,7 @@ class SVGPRegressionSamplingPrediction(SVGPRegressionMeanVariancePrediction):
             die = self._rand_gen.sample_normal(
                 ctx.next_key(), shape=out_shape,
                 dtype=self.model.F.factor.dtype)
+            var = jnp.maximum(var, 0.0)
             samples = mu + die * jnp.sqrt(var)
         else:
             cov = var
