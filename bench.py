@@ -83,13 +83,16 @@ def main():
     for i in range(WARMUP):
         key, sk = jax.random.split(key)
         trainable, opt_state, loss = step(trainable, opt_state, sk, Xj, Yj)
-    loss.block_until_ready()
+    float(loss)  # host fetch: forces completion of the warmup chain
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         key, sk = jax.random.split(key)
         trainable, opt_state, loss = step(trainable, opt_state, sk, Xj, Yj)
-    loss.block_until_ready()
+    # fetch the final loss VALUE: the sequential parameter dependency
+    # forces every step to have executed (block_until_ready alone can
+    # ack early on relay-attached backends)
+    float(loss)
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = STEPS / elapsed

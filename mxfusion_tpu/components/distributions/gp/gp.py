@@ -12,8 +12,6 @@ import jax.scipy.linalg as jsl
 
 from ..distribution import Distribution
 from ...variables.variable import Variable
-from ...variables.runtime_variable import arrays_as_samples
-from ....util.inference import realize_shape
 from ....ops.precision import einsum as p_einsum
 
 LOG2PI = float(np.log(2.0 * np.pi))

@@ -4,7 +4,6 @@ Reference: /root/reference/mxfusion/inference/grad_based_inference.py:22-140.
 """
 from .inference import Inference, TransferInference
 from .inference_alg import create_executor
-from .grad_loop import GradLoop
 from .batch_loop import BatchInferenceLoop
 from .minibatch_loop import MinibatchInferenceLoop
 from ..util.inference import discover_shape_constants

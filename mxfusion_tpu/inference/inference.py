@@ -8,7 +8,6 @@ Reference: /root/reference/mxfusion/inference/inference.py:31-358.
 single zip of graphs-JSON skeletons + parameter npz + constants +
 configuration, restored via graph reconciliation.
 """
-import io
 import json
 import warnings
 import zipfile

@@ -22,7 +22,7 @@ from abc import ABC, abstractmethod
 import jax
 import jax.numpy as jnp
 
-from ..components.variables.variable import Variable, VariableType
+from ..components.variables.variable import VariableType
 from ..util.inference import variables_to_UUID
 
 

@@ -32,7 +32,6 @@ class MAP(VariationalInference):
 
     def compute(self, env, ctx):
         """Substitute locations, return -log p (reference map.py:61-83)."""
-        import jax.numpy as jnp
         for v in self.posterior.variables.values():
             if v.type == VariableType.RANDVAR:
                 location = v.factor.location

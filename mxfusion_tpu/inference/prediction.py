@@ -5,8 +5,6 @@ the graph topologically, evaluating functions, sampling distributions,
 and calling ``predict`` on modules (which dispatches to their attached
 closed-form prediction algorithms).
 """
-import jax
-
 from .inference_alg import SamplingAlgorithm
 from ..components.distributions.distribution import Distribution
 from ..components.functions.function_evaluation import FunctionEvaluation

@@ -13,16 +13,12 @@ Graph surgery (remove/replace subgraph, extract_distribution_of),
 cloning with UUID preservation, Markov blankets, and BFS name+topology
 graph reconciliation for serialization are all here.
 """
-import json
-import warnings
-
 import jax
 import networkx as nx
 
 from ..components.model_component import ModelComponent
 from ..components.factor import Factor
 from ..components.variables.variable import Variable, VariableType
-from ..components.variables.runtime_variable import expectation
 from ..components.distributions.distribution import Distribution
 from ..components.functions.function_evaluation import FunctionEvaluation
 from ..common.exceptions import ModelSpecificationError, InferenceError

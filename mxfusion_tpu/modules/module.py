@@ -20,7 +20,7 @@ import warnings
 import jax
 
 from ..components.factor import Factor
-from ..components.variables.variable import Variable, VariableType
+from ..components.variables.variable import VariableType
 from ..components.distributions.random_gen import default_rand_gen
 from ..common.config import get_default_dtype
 from ..common.exceptions import ModelSpecificationError

@@ -12,13 +12,12 @@ dry-run and available for cases where manual collective placement
 beats GSPMD).
 """
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
-from .mesh import DATA_AXIS, batch_sharding, replicated_sharding, \
-    shard_data, replicate_tree
+from .mesh import DATA_AXIS, batch_sharding, shard_data, \
+    replicate_tree
 from ..inference.batch_loop import BatchInferenceLoop, make_optimizer
 from ..inference.minibatch_loop import MinibatchInferenceLoop
 
