@@ -25,7 +25,9 @@ BATCH = 1024
 M_INDUCING = 128
 D = 8
 WARMUP = 5
-STEPS = 50
+STEPS = 500
+STEPS_PER_CALL = 50  # lax.scan'd inside one XLA program (amortizes the
+                     # per-program dispatch/relay overhead)
 
 
 def main():
@@ -67,8 +69,7 @@ def main():
     fixed = dict(infr.params.fixed_params())
     opt_state = opt.init(trainable)
 
-    @jax.jit
-    def step(trainable, opt_state, key, X, Y):
+    def one_step(trainable, opt_state, key, X, Y):
         def loss_fn(tr):
             loss, loss_for_grad, _ = executor(tr, fixed, [X, Y], key)
             return loss_for_grad, loss
@@ -78,17 +79,31 @@ def main():
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
 
+    @jax.jit
+    def multi_step(trainable, opt_state, key, X, Y):
+        def body(carry, subkey):
+            tr, st = carry
+            tr, st, loss = one_step(tr, st, subkey, X, Y)
+            return (tr, st), loss
+        keys = jax.random.split(key, STEPS_PER_CALL)
+        (tr, st), losses = jax.lax.scan(body, (trainable, opt_state),
+                                        keys)
+        return tr, st, losses[-1]
+
     Xj, Yj = jnp.asarray(Xb), jnp.asarray(Yb)
     key = jax.random.PRNGKey(0)
     for i in range(WARMUP):
         key, sk = jax.random.split(key)
-        trainable, opt_state, loss = step(trainable, opt_state, sk, Xj, Yj)
+        trainable, opt_state, loss = multi_step(trainable, opt_state, sk,
+                                                Xj, Yj)
     float(loss)  # host fetch: forces completion of the warmup chain
 
+    n_calls = STEPS // STEPS_PER_CALL
     t0 = time.perf_counter()
-    for i in range(STEPS):
+    for i in range(n_calls):
         key, sk = jax.random.split(key)
-        trainable, opt_state, loss = step(trainable, opt_state, sk, Xj, Yj)
+        trainable, opt_state, loss = multi_step(trainable, opt_state, sk,
+                                                Xj, Yj)
     # fetch the final loss VALUE: the sequential parameter dependency
     # forces every step to have executed (block_until_ready alone can
     # ack early on relay-attached backends)

@@ -50,8 +50,11 @@ class BatchInferenceLoop(GradLoop):
     caches) ride in the scan carry, so the final cache state is exact.
     """
 
-    def __init__(self, steps_per_call=1):
+    def __init__(self, steps_per_call=1, debug=False):
         self.steps_per_call = steps_per_call
+        # debug=True runs the objective un-jitted (eager interpreter):
+        # python breakpoints and value printing work inside compute()
+        self.debug = debug
 
     def run(self, executor, params, data, optimizer="adam",
             learning_rate=1e-3, max_iter=1000, key=None, verbose=False,
@@ -78,7 +81,7 @@ class BatchInferenceLoop(GradLoop):
             return trainable, opt_state, loss, aux
 
         if self.steps_per_call <= 1:
-            step = jax.jit(one_step)
+            step = one_step if self.debug else jax.jit(one_step)
             loss = None
             aux = {}
             print_every = max(1, max_iter // 10)
