@@ -301,6 +301,10 @@ class SparseGPRegression(Module):
     def replicate_self(self, attribute_map=None):
         rep = super().replicate_self(attribute_map)
         rep.kernel = self.kernel.replicate_self(attribute_map)
+        if rep._module_graph is not None:
+            # restore the non-component convenience attr lost by clone()
+            rep._module_graph.kernel = \
+                rep._module_graph.U.factor.kernel
         rep._has_mean = self._has_mean
         rep.jitter = self.jitter
         return rep
