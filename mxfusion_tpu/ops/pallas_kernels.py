@@ -15,7 +15,17 @@ forward speed where it matters, with XLA-derived exact gradients).
 
 Eligibility is conservative: single sample (s == 1), float32, tile-aligned
 N/M, TPU backend (or the interpreter for tests). Everything else takes
-the jnp path, which XLA fuses well on its own.
+the jnp path.
+
+DEFAULT: OFF. Honest same-protocol measurements on v5e (scan-amortized,
+value-fetch synchronized) show XLA's fused jnp pipeline ~5% FASTER than
+this kernel across (B, M, D) from (1024,128,8) to (8192,512,128) — the
+custom_vjp boundary blocks XLA from fusing K's consumers into the
+producer, outweighing the in-kernel fusion. The kernel stays available
+via ``set_use_pallas(True)`` as the hand-written fallback for shapes
+where a future XLA regression or an unfused epilogue makes it win, and
+as the template for further Pallas work (it is exact to 3e-6 vs the
+reference formula with HIGHEST-precision MXU passes).
 """
 import functools
 
@@ -25,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from .precision import einsum as p_einsum
 
-_USE_PALLAS = True
+_USE_PALLAS = False
 _FORCE_INTERPRET = False  # tests flip this to exercise the kernel on CPU
 
 TILE_N = 128

@@ -9,14 +9,17 @@ from mxfusion_tpu.ops import pallas_kernels as pk
 
 @pytest.fixture
 def force_interpret():
+    pk.set_use_pallas(True)
     pk.set_force_interpret(True)
     yield
     pk.set_force_interpret(False)
+    pk.set_use_pallas(False)
 
 
 def test_eligibility_gate():
     X = jnp.zeros((1, 512, 8), dtype=jnp.float32)
-    assert not pk.pallas_eligible(X, None)  # not on TPU, not interpreting
+    assert not pk.pallas_eligible(X, None)  # default off
+    pk.set_use_pallas(True)
     pk.set_force_interpret(True)
     try:
         assert pk.pallas_eligible(X, None)
@@ -30,6 +33,7 @@ def test_eligibility_gate():
                                                 dtype=jnp.float32), None)
     finally:
         pk.set_force_interpret(False)
+        pk.set_use_pallas(False)
 
 
 def test_pallas_rbf_matches_jnp(force_interpret):
