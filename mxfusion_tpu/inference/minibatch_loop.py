@@ -2,10 +2,16 @@
 
 Reference: /root/reference/mxfusion/inference/minibatch_loop.py:21-95.
 Shuffled fixed-size batches with rollover (every batch the same shape,
-so exactly ONE XLA compilation); the ``rv_scaling = N/batch_size``
-correction is folded into ``log_pdf_scaling`` at executor-build time.
-Batching happens host-side on numpy; device transfer overlaps with the
-async dispatch of the previous step.
+so exactly ONE XLA compilation); the ``rv_scaling = N/batch`` correction
+is folded into ``log_pdf_scaling`` at executor-build time. Batching
+happens host-side through the native threaded gather
+(mxfusion_tpu.native).
+
+``batches_per_call = k`` stages k batches as one (k, B, ...) device
+array and ``lax.scan``s k optimizer steps inside a single XLA program —
+per-program dispatch overhead amortizes k-fold (the same protocol as
+``BatchInferenceLoop.steps_per_call``, but each scanned step consumes a
+fresh batch).
 """
 import jax
 import jax.numpy as jnp
@@ -13,20 +19,38 @@ import numpy as np
 import optax
 
 from .grad_loop import GradLoop
-from .batch_loop import make_optimizer
+from .batch_loop import make_optimizer, _aux_zeros
 
 
 class MinibatchInferenceLoop(GradLoop):
-    def __init__(self, batch_size=100, rv_scaling=None):
+    def __init__(self, batch_size=100, rv_scaling=None,
+                 batches_per_call=1):
         super().__init__()
         self.batch_size = batch_size
         self.rv_scaling = {v.uuid: s for v, s in rv_scaling.items()} \
             if rv_scaling is not None else None
+        self.batches_per_call = batches_per_call
+
+    # ------------------------------------------------------------------
+    def _epoch_batches(self, N, epoch):
+        """Shuffled index batches (rollover-padded to the batch size)."""
+        from ..native import shuffled_indices
+        B = self.batch_size
+        perm = shuffled_indices(N, seed=epoch)
+        n_batches = max(1, -(-N // B))
+        out = []
+        for b in range(n_batches):
+            idx = perm[b * B:(b + 1) * B]
+            if idx.shape[0] < B:
+                idx = np.concatenate([idx, perm[:B - idx.shape[0]]])
+            out.append(idx)
+        return out
 
     def run(self, executor, params, data, optimizer="adam",
             learning_rate=1e-3, max_iter=1000, key=None, verbose=False,
             callback=None, data_sharding=None):
         """``max_iter`` counts epochs (as in the reference)."""
+        from ..native import gather_rows
         if key is None:
             key = jax.random.PRNGKey(0)
         opt = make_optimizer(optimizer, learning_rate)
@@ -36,46 +60,91 @@ class MinibatchInferenceLoop(GradLoop):
         data = [np.asarray(d) for d in data]
         N = data[0].shape[0]
         B = self.batch_size
-        n_batches = max(1, -(-N // B))
 
-        @jax.jit
-        def step(trainable, fixed, opt_state, key, batch):
+        def one_step(trainable, fixed, opt_state, key, batch):
             def loss_fn(tr):
                 loss, loss_for_grad, aux = executor(tr, fixed, batch, key)
                 return loss_for_grad, (loss, aux)
-            (loss_for_grad, (loss, aux)), grads = jax.value_and_grad(
+            (_, (loss, aux)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable)
             updates, opt_state = opt.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss, aux
 
-        from ..native import gather_rows, shuffled_indices
+        if self.batches_per_call <= 1:
+            step = jax.jit(one_step)
+            last_loss = None
+            for e in range(max_iter):
+                epoch_loss, n_b = 0.0, 0
+                for idx in self._epoch_batches(N, e):
+                    batch = [jnp.asarray(gather_rows(d, idx))
+                             for d in data]
+                    if data_sharding is not None:
+                        batch = [jax.device_put(a, s)
+                                 for a, s in zip(batch, data_sharding)]
+                    key, subkey = jax.random.split(key)
+                    trainable, opt_state, loss, aux = step(
+                        trainable, fixed, opt_state, subkey, batch)
+                    if aux:
+                        fixed = {**fixed, **aux}
+                    epoch_loss += float(loss)
+                    n_b += 1
+                    last_loss = loss
+                if verbose:
+                    print("epoch {} loss: {}".format(e + 1,
+                                                     epoch_loss / n_b))
+                if callback is not None:
+                    callback(e, epoch_loss / n_b)
+            params.update_params(trainable)
+            params.update_params(fixed)
+            return np.asarray(last_loss) if last_loss is not None else None
+
+        # scanned multi-batch path
+        k = self.batches_per_call
+        sample_batch = [jnp.zeros((B,) + d.shape[1:], dtype=d.dtype)
+                        for d in data]
+        aux0 = _aux_zeros(executor, trainable, fixed, sample_batch, key)
+        aux0 = {u: fixed.get(u, z) for u, z in aux0.items()}
+        has_aux = bool(jax.tree_util.tree_leaves(aux0))
+
+        @jax.jit
+        def multi_step(trainable, fixed, opt_state, key, stacked):
+            def body(carry, xs):
+                tr, st, fx_aux = carry
+                subkey, batch = xs[0], list(xs[1:])
+                fx = {**fixed, **fx_aux} if has_aux else fixed
+                tr, st, loss, aux = one_step(tr, fx, st, subkey, batch)
+                return (tr, st, aux if has_aux else fx_aux), loss
+            keys = jax.random.split(key, k)
+            (tr, st, aux), losses = jax.lax.scan(
+                body, (trainable, opt_state, aux0),
+                (keys,) + tuple(stacked))
+            return tr, st, aux, losses
+
         last_loss = None
         for e in range(max_iter):
-            perm = shuffled_indices(N, seed=e)
-            epoch_loss = 0.0
-            for b in range(n_batches):
-                start = b * B
-                idx = perm[start:start + B]
-                if idx.shape[0] < B:  # rollover: pad from the front
-                    idx = np.concatenate([idx, perm[:B - idx.shape[0]]])
-                # native threaded row gather (numpy fallback inside)
-                batch = [jnp.asarray(gather_rows(d, idx)) for d in data]
-                if data_sharding is not None:
-                    batch = [jax.device_put(a, s)
-                             for a, s in zip(batch, data_sharding)]
+            idx_batches = self._epoch_batches(N, e)
+            # pad to a multiple of k by wrapping (keeps shapes static)
+            while len(idx_batches) % k != 0:
+                idx_batches.append(idx_batches[len(idx_batches) % k])
+            epoch_loss, n_b = 0.0, 0
+            for c in range(0, len(idx_batches), k):
+                idx = np.stack(idx_batches[c:c + k])     # (k, B)
+                stacked = tuple(
+                    jnp.asarray(gather_rows(d, idx.ravel()).reshape(
+                        (k, B) + d.shape[1:])) for d in data)
                 key, subkey = jax.random.split(key)
-                trainable, opt_state, loss, aux = step(
-                    trainable, fixed, opt_state, subkey, batch)
-                if aux:
+                trainable, opt_state, aux, losses = multi_step(
+                    trainable, fixed, opt_state, subkey, stacked)
+                if has_aux:
                     fixed = {**fixed, **aux}
-                epoch_loss += float(loss)
-                last_loss = loss
+                epoch_loss += float(jnp.sum(losses))
+                n_b += k
+                last_loss = losses[-1]
             if verbose:
-                print("epoch {} loss: {}".format(e + 1,
-                                                 epoch_loss / n_batches))
+                print("epoch {} loss: {}".format(e + 1, epoch_loss / n_b))
             if callback is not None:
-                callback(e, epoch_loss / n_batches)
+                callback(e, epoch_loss / n_b)
         params.update_params(trainable)
         params.update_params(fixed)
         return np.asarray(last_loss) if last_loss is not None else None

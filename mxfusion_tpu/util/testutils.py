@@ -52,6 +52,32 @@ def make_basic_model(finalize=True):
     return m
 
 
+def make_net(input_shape=(100, 2), hidden=8, out=1, seed=0):
+    """A small flax MLP wrapped as a FlaxFunction (the reference's
+    ``make_net`` Gluon factory, testutils.py:96-108)."""
+    import jax
+    import flax.linen as nn
+    from ..components.functions.flax_function import FlaxFunction
+
+    class _MLP(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(hidden)(x)
+            x = jnp.tanh(x)
+            return nn.Dense(out)(x)
+
+    return FlaxFunction(_MLP(), name="f", input_shapes=[input_shape],
+                        rng_key=jax.random.PRNGKey(seed))
+
+
+def check_sampling_bivariate(samples, mean, cov, atol=0.1):
+    """Moment check for 2-D sampling (the reference's plot_bivariate
+    histogram comparison, testutils.py:189-218, made quantitative)."""
+    s = np.asarray(samples).reshape(-1, 2)
+    return (np.allclose(s.mean(0), mean, atol=atol) and
+            np.allclose(np.cov(s.T), cov, atol=3 * atol))
+
+
 def make_bnn_model(net, data_x_shape, finalize=True):
     """Bayesian NN model: priors over all lifted network weights."""
     from ..models.model import Model
