@@ -75,7 +75,8 @@ class MinibatchInferenceLoop(GradLoop):
             step = jax.jit(one_step)
             last_loss = None
             for e in range(max_iter):
-                epoch_loss, n_b = 0.0, 0
+                # device-side loss accumulation: one host sync per epoch
+                batch_losses = []
                 for idx in self._epoch_batches(N, e):
                     batch = [jnp.asarray(gather_rows(d, idx))
                              for d in data]
@@ -87,14 +88,13 @@ class MinibatchInferenceLoop(GradLoop):
                         trainable, fixed, opt_state, subkey, batch)
                     if aux:
                         fixed = {**fixed, **aux}
-                    epoch_loss += float(loss)
-                    n_b += 1
+                    batch_losses.append(loss)
                     last_loss = loss
+                epoch_loss = float(jnp.mean(jnp.stack(batch_losses)))
                 if verbose:
-                    print("epoch {} loss: {}".format(e + 1,
-                                                     epoch_loss / n_b))
+                    print("epoch {} loss: {}".format(e + 1, epoch_loss))
                 if callback is not None:
-                    callback(e, epoch_loss / n_b)
+                    callback(e, epoch_loss)
             params.update_params(trainable)
             params.update_params(fixed)
             return np.asarray(last_loss) if last_loss is not None else None
@@ -127,7 +127,7 @@ class MinibatchInferenceLoop(GradLoop):
             # pad to a multiple of k by wrapping (keeps shapes static)
             while len(idx_batches) % k != 0:
                 idx_batches.append(idx_batches[len(idx_batches) % k])
-            epoch_loss, n_b = 0.0, 0
+            chunk_losses = []
             for c in range(0, len(idx_batches), k):
                 idx = np.stack(idx_batches[c:c + k])     # (k, B)
                 stacked = tuple(
@@ -138,13 +138,13 @@ class MinibatchInferenceLoop(GradLoop):
                     trainable, fixed, opt_state, subkey, stacked)
                 if has_aux:
                     fixed = {**fixed, **aux}
-                epoch_loss += float(jnp.sum(losses))
-                n_b += k
+                chunk_losses.append(jnp.mean(losses))
                 last_loss = losses[-1]
+            epoch_loss = float(jnp.mean(jnp.stack(chunk_losses)))
             if verbose:
-                print("epoch {} loss: {}".format(e + 1, epoch_loss / n_b))
+                print("epoch {} loss: {}".format(e + 1, epoch_loss))
             if callback is not None:
-                callback(e, epoch_loss / n_b)
+                callback(e, epoch_loss)
         params.update_params(trainable)
         params.update_params(fixed)
         return np.asarray(last_loss) if last_loss is not None else None

@@ -24,7 +24,8 @@ from ...components.functions.operators import broadcast_to
 from ...inference.variational import VariationalInference
 from ...inference.inference_alg import SamplingAlgorithm
 from ...inference.forward_sampling import ForwardSamplingAlgorithm
-from ...ops.linalg import broadcast_to_w_samples
+from ...ops.linalg import broadcast_to_w_samples, \
+    wide_triangular_solve
 from ...ops.precision import einsum as p_einsum
 
 LOG2PI = float(np.log(2.0 * np.pi))
@@ -62,7 +63,7 @@ class SparseGPRegressionLogPdf(VariationalInference):
         Kff_diag = kern.Kdiag(X, **kern_params)
 
         L = jnp.linalg.cholesky(Kuu)
-        LinvKuf = jsl.solve_triangular(L, Kuf, lower=True)
+        LinvKuf = wide_triangular_solve(L, Kuf, lower=True)
 
         A = eye_m + p_einsum("...mn,...kn->...mk",
                                LinvKuf, LinvKuf) / noise_var_m

@@ -30,7 +30,8 @@ from ...components.functions.operators import broadcast_to
 from ...inference.variational import VariationalInference
 from ...inference.inference_alg import SamplingAlgorithm
 from ...inference.forward_sampling import ForwardSamplingAlgorithm
-from ...ops.linalg import make_diagonal, broadcast_to_w_samples
+from ...ops.linalg import (make_diagonal, broadcast_to_w_samples,
+                           wide_triangular_solve)
 from ...ops.precision import einsum as p_einsum
 
 LOG2PI = float(np.log(2.0 * np.pi))
@@ -88,7 +89,7 @@ class SVGPRegressionLogPdf(VariationalInference):
         Ls = jnp.linalg.cholesky(S)
         LinvLs = jsl.solve_triangular(L, Ls, lower=True)
         Linvmu = jsl.solve_triangular(L, mu, lower=True)
-        LinvKuf = jsl.solve_triangular(L, Kuf, lower=True)
+        LinvKuf = wide_triangular_solve(L, Kuf, lower=True)
 
         KfuKuuInvmu = p_einsum("...mn,...md->...nd", LinvKuf, Linvmu)
         KfuKuuInvLs = p_einsum("...mn,...mk->...nk", LinvKuf, LinvLs)
