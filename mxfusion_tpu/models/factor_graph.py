@@ -100,6 +100,13 @@ class FactorGraph:
     def var_ties(self):
         return self._var_ties
 
+    def tie_variables(self, tied, to):
+        """Alias ``tied`` to ``to`` at runtime: the env entry of ``tied``
+        is replaced by ``to``'s value when the executor builds the env
+        (the reference's var_ties mechanism, factor_graph.py:180-189)."""
+        self._var_ties[tied.uuid if hasattr(tied, "uuid") else tied] = \
+            to.uuid if hasattr(to, "uuid") else to
+
     def __repr__(self):
         lines = ["{}({})".format(type(self).__name__, self.name or "")]
         for f in self.ordered_factors:
