@@ -85,8 +85,3 @@ class FlaxFunction(Function):
         args = [data[n] for n in self.input_names]
         return self.module.apply({"params": tree}, *args)
 
-    def __call__(self, *args, **kwargs):
-        # parameters that are random variables force per-sample evaluation
-        if self.has_random_parameters:
-            self.broadcastable = False
-        return super().__call__(*args, **kwargs)

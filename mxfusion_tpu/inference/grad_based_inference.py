@@ -38,7 +38,7 @@ class GradBasedInference(Inference):
 
     def run(self, optimizer="adam", learning_rate=1e-3, max_iter=2000,
             verbose=False, key=None, callback=None, data_sharding=None,
-            **kwargs):
+            remat=False, **kwargs):
         data = [np.asarray(d) for d in self._fetch_observed(kwargs)]
         is_minibatch = isinstance(self._grad_loop, MinibatchInferenceLoop)
         if is_minibatch:
@@ -52,7 +52,7 @@ class GradBasedInference(Inference):
             self.initialize(key=key, **kwargs)
             rv_scaling = None
         executor = create_executor(self._algorithm, self.params,
-                                   rv_scaling=rv_scaling)
+                                   rv_scaling=rv_scaling, remat=remat)
         return self._grad_loop.run(
             executor=executor, params=self.params, data=data,
             optimizer=optimizer, learning_rate=learning_rate,
@@ -79,6 +79,12 @@ class GradTransferInference(GradBasedInference, TransferInference):
             verbose=False, key=None, callback=None, **kwargs):
         data = [np.asarray(d) for d in self._fetch_observed(kwargs)]
         self.initialize(key=key, **kwargs)
+        if self._train_params:
+            # explicitly re-enable training for selected carried-over
+            # variables (reference grad_based_inference.py:106-140)
+            for v in self._train_params:
+                self.params.fixed.discard(
+                    v.uuid if hasattr(v, "uuid") else v)
         executor = create_executor(self._algorithm, self.params)
         return self._grad_loop.run(
             executor=executor, params=self.params, data=data,

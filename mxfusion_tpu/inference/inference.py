@@ -98,10 +98,10 @@ class Inference:
             self.initialize(key=key, **kwargs)
         if key is None:
             key = jax.random.PRNGKey(0)
-        executor = create_sampling_executor(self._algorithm, self.params) \
-            if isinstance(self._algorithm, SamplingAlgorithm) \
-            else None
-        if executor is None:
+        if isinstance(self._algorithm, SamplingAlgorithm):
+            executor = create_sampling_executor(self._algorithm,
+                                                self.params)
+        else:
             from .inference_alg import create_executor
             executor = create_executor(self._algorithm, self.params)
         return executor(self.params.trainable_params(),

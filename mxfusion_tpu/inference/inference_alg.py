@@ -193,17 +193,22 @@ def _make_env_builder(algorithm, params, rv_scaling=None):
     return build_env
 
 
-def create_executor(algorithm, params, rv_scaling=None):
+def create_executor(algorithm, params, rv_scaling=None, remat=False):
     """Build the pure objective function for an inference algorithm.
 
     Returns ``executor(trainable, fixed, data_list, key) -> (loss,
     loss_for_gradient, aux)`` where ``trainable``/``fixed`` are
     {uuid: unconstrained array} dicts and ``data_list`` is the observed
     data in ``algorithm.observed_variable_UUIDs`` order.
+
+    ``remat=True`` wraps the objective in ``jax.checkpoint``:
+    activations are rematerialized in the backward pass, trading FLOPs
+    for HBM — the standard TPU lever for objectives whose intermediates
+    (kernel matrices, per-sample activations) exceed memory.
     """
     build_env = _make_env_builder(algorithm, params, rv_scaling=rv_scaling)
 
-    def executor(trainable, fixed, data_list, key):
+    def objective(trainable, fixed, data_list, key):
         env = build_env(trainable, fixed, data_list)
         ctx = RuntimeContext(key)
         result = algorithm.compute(env, ctx)
@@ -212,6 +217,11 @@ def create_executor(algorithm, params, rv_scaling=None):
         else:
             loss = loss_for_grad = result
         return loss, loss_for_grad, ctx.aux
+
+    wrapped = jax.checkpoint(objective) if remat else objective
+
+    def executor(trainable, fixed, data_list, key):
+        return wrapped(trainable, fixed, data_list, key)
 
     executor.build_env = build_env
     return executor
