@@ -101,11 +101,19 @@ class Inference:
         if isinstance(self._algorithm, SamplingAlgorithm):
             executor = create_sampling_executor(self._algorithm,
                                                 self.params)
-        else:
-            from .inference_alg import create_executor
-            executor = create_executor(self._algorithm, self.params)
-        return executor(self.params.trainable_params(),
-                        self.params.fixed_params(), data, key)
+            return executor(self.params.trainable_params(),
+                            self.params.fixed_params(), data, key)
+        from .inference_alg import create_executor
+        executor = create_executor(self._algorithm, self.params)
+        loss, loss_for_grad, aux = executor(
+            self.params.trainable_params(), self.params.fixed_params(),
+            data, key)
+        if aux:
+            # SET_ writebacks persist into the parameter store
+            # (reference inference_alg.py:84-89)
+            self.params.update_params(aux)
+            self.params.fixed.update(aux.keys())
+        return loss, loss_for_grad, aux
 
     # ------------------------------------------------------------------
     def get_serializable(self):
