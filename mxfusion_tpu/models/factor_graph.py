@@ -133,29 +133,35 @@ class FactorGraph:
                           for t in targets)
         terms = []
         for f in self.ordered_factors:
-            if isinstance(f, Module):
-                if targets is None:
-                    module_targets = [v.uuid for _, v in f.outputs
-                                      if v.uuid in env]
+            # named scopes attribute each factor's ops in HLO/profiles
+            scope = "{}:{}".format(type(f).__name__,
+                                   f.name or f.uuid[:8])
+            with jax.named_scope(scope):
+                if isinstance(f, Module):
+                    if targets is None:
+                        module_targets = [v.uuid for _, v in f.outputs
+                                          if v.uuid in env]
+                    else:
+                        module_targets = [v.uuid for _, v in f.outputs
+                                          if v.uuid in targets]
+                    if module_targets:
+                        lp = f.log_pdf(env, targets=module_targets,
+                                       ctx=ctx)
+                        terms.append(jnp.sum(
+                            lp, axis=tuple(range(1, lp.ndim))))
+                elif isinstance(f, FunctionEvaluation):
+                    results = f.eval(env)
+                    for name, var in f.outputs:
+                        env[var.uuid] = results[name]
+                elif isinstance(f, Distribution):
+                    if targets is None or \
+                            f.random_variable.uuid in targets:
+                        lp = f.log_pdf(env)
+                        terms.append(jnp.sum(
+                            lp, axis=tuple(range(1, lp.ndim))))
                 else:
-                    module_targets = [v.uuid for _, v in f.outputs
-                                      if v.uuid in targets]
-                if module_targets:
-                    lp = f.log_pdf(env, targets=module_targets, ctx=ctx)
-                    terms.append(jnp.sum(
-                        lp, axis=tuple(range(1, lp.ndim))))
-            elif isinstance(f, FunctionEvaluation):
-                results = f.eval(env)
-                for name, var in f.outputs:
-                    env[var.uuid] = results[name]
-            elif isinstance(f, Distribution):
-                if targets is None or f.random_variable.uuid in targets:
-                    lp = f.log_pdf(env)
-                    terms.append(jnp.sum(
-                        lp, axis=tuple(range(1, lp.ndim))))
-            else:
-                raise ModelSpecificationError(
-                    "Non-factor {} in ordered_factors.".format(f))
+                    raise ModelSpecificationError(
+                        "Non-factor {} in ordered_factors.".format(f))
         return terms
 
     def log_pdf(self, env, targets=None, ctx=None):
