@@ -3,14 +3,16 @@ config "SVGPRegression: 100k points, minibatch SVI").
 
 Measures jitted optimizer steps/sec of the full SVGP ELBO + adam update
 (batch 1024, 128 inducing points, D=8, float32) on the available
-accelerator. The fused Pallas RBF kernel-matrix path is active on TPU
-for the Kuu/Kuf assembly.
+accelerator. The Kuu/Kuf kernel matrices are assembled by the
+XLA-fused jnp path (the Pallas variant defaults OFF: measured ~5%
+slower because custom_vjp blocks consumer fusion — benchmarks/NOTES.md).
 
 The reference (amzn/MXFusion) publishes no benchmark numbers
-(BASELINE.md). ``vs_baseline`` is reported against a fixed nominal
-estimate of the reference's throughput on this config (MXNet CPU,
-~25 steps/s, estimated from the FLOP count and typical MXNet CPU GEMM
-rates) so the value is comparable across rounds.
+(BASELINE.md). ``vs_baseline`` divides by a MEASURED baseline: this
+exact script run on the JAX CPU backend of this machine
+(127.93 steps/s, measured 2026-08-16, same scan-amortized protocol) —
+a stand-in for the reference's single-host CPU execution model, and
+stable across rounds for comparability.
 """
 import json
 import sys
@@ -18,7 +20,8 @@ import time
 
 import numpy as np
 
-REFERENCE_ESTIMATE_STEPS_PER_SEC = 25.0
+# measured: this script on this host's JAX CPU backend (see docstring)
+CPU_BASELINE_STEPS_PER_SEC = 127.93
 
 N_TOTAL = 100_000
 BATCH = 1024
@@ -118,7 +121,7 @@ def main():
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec /
-                             REFERENCE_ESTIMATE_STEPS_PER_SEC, 2),
+                             CPU_BASELINE_STEPS_PER_SEC, 2),
     }))
 
 

@@ -112,13 +112,16 @@ def dot(x, y):
 def diag(data, k=0):
     if data.ndim >= 3:
         return jnp.diagonal(data, offset=k, axis1=-2, axis2=-1)
-    if k != 0:
-        raise NotImplementedError("diag embed with k != 0 is not supported")
-    # vector (with sample axis) -> batched diagonal matrix
+    # vector (with sample axis) -> batched matrix with the vector on the
+    # k-th diagonal (numpy.diag semantics; reference operator_impl.py:
+    # 97-101 supports the offset)
     n = data.shape[-1]
-    out = jnp.zeros(data.shape + (n,), dtype=data.dtype)
+    m = n + abs(k)
+    out = jnp.zeros(data.shape[:-1] + (m, m), dtype=data.dtype)
     idx = jnp.arange(n)
-    return out.at[..., idx, idx].set(data)
+    rows = idx + max(-k, 0)
+    cols = idx + max(k, 0)
+    return out.at[..., rows, cols].set(data)
 
 
 # --- manipulations --------------------------------------------------------

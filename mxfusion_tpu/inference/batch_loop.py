@@ -102,14 +102,11 @@ class BatchInferenceLoop(GradLoop):
 
         # scanned multi-step path
         k = self.steps_per_call
-        aux0 = _aux_zeros(executor, trainable, fixed, data, key)
-        # seed the carried aux with current cache values so the first
-        # in-scan step sees real state, not zeros
-        aux0 = {u: fixed.get(u, z) for u, z in aux0.items()}
-        has_aux = bool(jax.tree_util.tree_leaves(aux0))
+        aux_zeros = _aux_zeros(executor, trainable, fixed, data, key)
+        has_aux = bool(jax.tree_util.tree_leaves(aux_zeros))
 
         @jax.jit
-        def multi_step(trainable, fixed, opt_state, key, data):
+        def multi_step(trainable, fixed, opt_state, key, data, aux0):
             def body(carry, subkey):
                 tr, st, fx_aux = carry
                 fx = {**fixed, **fx_aux} if has_aux else fixed
@@ -125,8 +122,14 @@ class BatchInferenceLoop(GradLoop):
         aux = {}
         for c in range(n_calls):
             key, subkey = jax.random.split(key)
+            # seed the carried aux with CURRENT cache values so the
+            # first in-scan step sees real state, not zeros (and not a
+            # stale closure constant from the first call); cast to the
+            # executor's aux dtype so the scan carry types are stable
+            aux0 = {u: jnp.asarray(fixed.get(u, z), dtype=z.dtype)
+                    for u, z in aux_zeros.items()}
             trainable, opt_state, aux, losses = multi_step(
-                trainable, fixed, opt_state, subkey, data)
+                trainable, fixed, opt_state, subkey, data, aux0)
             if has_aux:
                 fixed = {**fixed, **aux}
             loss = losses[-1]

@@ -126,6 +126,10 @@ class Inference:
         config = {
             "observed_names": self.observed_variable_names,
             "observed_uuids": self.observed_variable_UUIDs,
+            # which parameter UUIDs are fixed (module caches, frozen
+            # carryover) — restored through the uuid_map at load so a
+            # resumed training run does not silently train cache state
+            "fixed_uuids": sorted(self.params.fixed),
         }
         with zipfile.ZipFile(zip_filename, "w") as zf:
             zf.writestr(FILENAMES["version"], json.dumps(
@@ -160,6 +164,7 @@ class Inference:
                 zf.read(FILENAMES["array_constants"]))
             prim_constants = json.loads(
                 zf.read(FILENAMES["prim_constants"]))
+            config = json.loads(zf.read(FILENAMES["configuration"]))
         previous_graphs = FactorGraph.load_graphs_json(graphs_json)
         uuid_map = FactorGraph.reconcile_graphs(
             current_graphs=self.graphs,
@@ -168,6 +173,10 @@ class Inference:
         InferenceParameters.load_parameters(
             uuid_map, params, array_constants, prim_constants,
             current_params=self.params)
+        for prev_uuid in config.get("fixed_uuids", []):
+            cur = uuid_map.get(prev_uuid, prev_uuid)
+            if cur in self.params.param_dict:
+                self.params.fixed.add(cur)
         self._initialized = True
 
 

@@ -33,16 +33,25 @@ class MinibatchInferenceLoop(GradLoop):
 
     # ------------------------------------------------------------------
     def _epoch_batches(self, N, epoch):
-        """Shuffled index batches (rollover-padded to the batch size)."""
+        """Shuffled index batches (rollover-padded to the batch size).
+
+        The effective batch size is ``min(batch_size, N)`` — the same
+        clamp applied when the symbolic batch dim is bound
+        (grad_based_inference._bind_minibatch_shapes), so the emitted
+        shape always matches the jitted step.
+        """
         from ..native import shuffled_indices
-        B = self.batch_size
+        B = min(self.batch_size, N)
         perm = shuffled_indices(N, seed=epoch)
         n_batches = max(1, -(-N // B))
         out = []
         for b in range(n_batches):
             idx = perm[b * B:(b + 1) * B]
             if idx.shape[0] < B:
-                idx = np.concatenate([idx, perm[:B - idx.shape[0]]])
+                # tile the permutation so even B > 2*len(remaining)
+                # pads to exactly B
+                idx = np.concatenate([idx, np.resize(perm,
+                                                     B - idx.shape[0])])
             out.append(idx)
         return out
 
@@ -59,7 +68,7 @@ class MinibatchInferenceLoop(GradLoop):
         opt_state = opt.init(trainable)
         data = [np.asarray(d) for d in data]
         N = data[0].shape[0]
-        B = self.batch_size
+        B = min(self.batch_size, N)  # same clamp as the symbolic-dim bind
 
         def one_step(trainable, fixed, opt_state, key, batch):
             def loss_fn(tr):
@@ -103,12 +112,12 @@ class MinibatchInferenceLoop(GradLoop):
         k = self.batches_per_call
         sample_batch = [jnp.zeros((B,) + d.shape[1:], dtype=d.dtype)
                         for d in data]
-        aux0 = _aux_zeros(executor, trainable, fixed, sample_batch, key)
-        aux0 = {u: fixed.get(u, z) for u, z in aux0.items()}
-        has_aux = bool(jax.tree_util.tree_leaves(aux0))
+        aux_zeros = _aux_zeros(executor, trainable, fixed, sample_batch,
+                               key)
+        has_aux = bool(jax.tree_util.tree_leaves(aux_zeros))
 
         @jax.jit
-        def multi_step(trainable, fixed, opt_state, key, stacked):
+        def multi_step(trainable, fixed, opt_state, key, stacked, aux0):
             def body(carry, xs):
                 tr, st, fx_aux = carry
                 subkey, batch = xs[0], list(xs[1:])
@@ -134,8 +143,13 @@ class MinibatchInferenceLoop(GradLoop):
                     jnp.asarray(gather_rows(d, idx.ravel()).reshape(
                         (k, B) + d.shape[1:])) for d in data)
                 key, subkey = jax.random.split(key)
+                # seed the carried aux with CURRENT cache values (not a
+                # stale closure constant from the first call); cast to
+                # the executor's aux dtype for stable scan carry types
+                aux0 = {u: jnp.asarray(fixed.get(u, z), dtype=z.dtype)
+                        for u, z in aux_zeros.items()}
                 trainable, opt_state, aux, losses = multi_step(
-                    trainable, fixed, opt_state, subkey, stacked)
+                    trainable, fixed, opt_state, subkey, stacked, aux0)
                 if has_aux:
                     fixed = {**fixed, **aux}
                 chunk_losses.append(jnp.mean(losses))

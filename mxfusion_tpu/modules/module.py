@@ -116,6 +116,12 @@ class Module(Factor):
             for v in g.get_parameters(excluded=io_uuids | excluded):
                 if v.uuid in params.param_dict or \
                         v.uuid in params.constants:
+                    # already allocated (e.g. loaded from a save):
+                    # still (re-)mark cache variables as fixed so a
+                    # resumed training run never trains cache state
+                    if v.uuid in cache_uuids and \
+                            v.uuid in params.param_dict:
+                        params.fixed.add(v.uuid)
                     continue
                 key, subkey = jax.random.split(key)
                 params.allocate(v, subkey,

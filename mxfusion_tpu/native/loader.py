@@ -62,6 +62,12 @@ def gather_rows(src, idx, out=None, n_threads=8):
     """``out[i] = src[idx[i]]`` over axis 0 (native when available)."""
     src = np.ascontiguousarray(src)
     idx = np.ascontiguousarray(idx, dtype=np.int64)
+    # bounds check up front: the native path is a raw memcpy loop, and
+    # must fail the same way the numpy fallback does (IndexError)
+    if idx.size and (idx.min() < 0 or idx.max() >= src.shape[0]):
+        raise IndexError(
+            "gather_rows: index out of range for axis 0 with size {}"
+            .format(src.shape[0]))
     n = idx.shape[0]
     if out is None:
         out = np.empty((n,) + src.shape[1:], dtype=src.dtype)

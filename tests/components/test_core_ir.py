@@ -160,6 +160,20 @@ def test_diag_operators():
     assert np.allclose(d[0], [0.0, 4.0, 8.0])
 
 
+def test_diag_operators_with_offset():
+    # embed with offset (numpy.diag semantics, reference
+    # operator_impl.py:97-101)
+    v = np.asarray([1.0, 2.0, 3.0])
+    for k in (1, 2, -1):
+        D = _eval_op(lambda x: diag(x, k=k), v)
+        assert np.allclose(D[0], np.diag(v, k=k)), k
+    # extract with offset from a matrix
+    A = np.arange(16.0).reshape(4, 4)
+    for k in (1, -2):
+        d = _eval_op(lambda x: diag(x, k=k), A)
+        assert np.allclose(d[0], np.diag(A, k=k)), k
+
+
 def test_elementwise_operators():
     data = np.asarray([1.0, 2.0, 3.0])
     assert np.allclose(_eval_op(square, data)[0], [1, 4, 9])

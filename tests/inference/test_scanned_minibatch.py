@@ -64,3 +64,27 @@ def test_scanned_minibatch_svgp_with_prediction():
     mu, _ = pred.run(X=Xt)[0]
     err = np.abs(np.asarray(mu)[0] - np.sin(Xt)).mean()
     assert err < 0.25
+
+
+def test_minibatch_batch_size_exceeds_dataset():
+    """batch_size > N (even > 2N) must clamp to N-sized batches matching
+    the bound symbolic dim (ADVICE r1: short-batch shape error)."""
+    rng = np.random.default_rng(3)
+    n_small = 25
+    y = rng.standard_normal((n_small, 1)) + 1.5
+    m = Model()
+    m.n = Variable()
+    m.mu = Normal.define_variable(mean=0., variance=100., shape=(1,))
+    m.s = Variable(transformation=PositiveTransformation(),
+                   initial_value=5.)
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (m.n, 1)),
+                                 variance=broadcast_to(m.s, (m.n, 1)),
+                                 shape=(m.n, 1))
+    q = create_Gaussian_meanfield(model=m, observed=[m.y])
+    alg = StochasticVariationalInference(num_samples=8, model=m,
+                                         posterior=q, observed=[m.y])
+    loop = MinibatchInferenceLoop(batch_size=64, rv_scaling={m.y: 1.0})
+    infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
+    infr.run(max_iter=30, learning_rate=0.1, y=y)
+    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    assert abs(mu_post - y.mean()) < 0.6

@@ -103,3 +103,33 @@ def test_gp_module_save_load_roundtrip(tmp_path):
     mu2, _ = p2.run(X=Xt)[0]
     assert np.allclose(np.asarray(mu1), np.asarray(mu2), rtol=1e-5,
                        atol=1e-6)
+
+
+def test_fixed_params_survive_save_load(tmp_path):
+    """Module cache variables (posterior L/LinvY/X) must still be FIXED
+    after a save/load round trip, so resumed training doesn't train
+    them (ADVICE r1: fixed-UUID set was not persisted)."""
+    rng = np.random.default_rng(3)
+    X = rng.random((20, 1)) * 4
+    Y = np.sin(X) + rng.standard_normal((20, 1)) * 0.1
+    m1 = _make_gp()
+    infr1 = GradBasedInference(
+        inference_algorithm=MAP(model=m1, observed=[m1.X, m1.Y]))
+    infr1.run(max_iter=20, learning_rate=0.05, X=X, Y=Y)
+    n_fixed_before = len(infr1.params.fixed)
+    assert n_fixed_before > 0  # the GP module cached L/LinvY/X
+    path = str(tmp_path / "gp_fixed.zip")
+    infr1.save(path)
+
+    m2 = _make_gp()
+    infr2 = GradBasedInference(
+        inference_algorithm=MAP(model=m2, observed=[m2.X, m2.Y]))
+    infr2.initialize(X=X, Y=Y)
+    infr2.load(path)
+    assert len(infr2.params.fixed) == n_fixed_before
+    # resumed training keeps caches out of the trainable set
+    fixed_before_resume = set(infr2.params.fixed)
+    infr2.run(max_iter=5, learning_rate=0.01, X=X, Y=Y)
+    assert fixed_before_resume <= set(infr2.params.fixed)
+    assert not (set(infr2.params.trainable_params())
+                & set(infr2.params.fixed))

@@ -49,3 +49,19 @@ def test_fallback_path():
 def test_native_build_status_reported():
     # informational: native path should build in this image (g++ exists)
     assert isinstance(native_available(), bool)
+
+
+def test_gather_rows_bounds_checked():
+    import pytest
+    src = np.zeros((10, 3))
+    for bad in ([-1, 0], [0, 10], [99]):
+        with pytest.raises(IndexError):
+            gather_rows(src, np.asarray(bad, dtype=np.int64))
+    # and identically on the forced numpy fallback
+    saved_lib, saved_tried = loader._LIB, loader._TRIED
+    loader._LIB, loader._TRIED = None, True
+    try:
+        with pytest.raises(IndexError):
+            gather_rows(src, np.asarray([10], dtype=np.int64))
+    finally:
+        loader._LIB, loader._TRIED = saved_lib, saved_tried
