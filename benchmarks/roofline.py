@@ -1,19 +1,133 @@
-"""SVGP roofline scan across batch/inducing configurations.
+"""Roofline / MFU accounting for the SVGP training step.
 
-Companion to bench.py: sweeps (batch, M, D) and reports honest wall
-clock per optimizer step. Timing protocol for relay-attached backends:
-enqueue K async steps, then fetch the FINAL loss value — the sequential
-parameter dependency forces the whole chain to execute, and the single
-host round trip amortizes over K steps.
+BASELINE.json's north star demands >=70% of the TPU matmul/Cholesky
+roofline. This script (a) MEASURES the attainable ceiling on the
+attached chip — sustained TFLOP/s of pure chained matmuls at the
+precisions the framework actually uses, plus batched Cholesky — and
+(b) computes the achieved fraction for SVGP training configs from an
+analytic FLOP count of the ELBO + its backward pass.
 
-Usage: python benchmarks/roofline.py
+Timing protocol for relay-attached backends (benchmarks/NOTES.md):
+enqueue K chained ops inside one lax.scan'd XLA program, fetch one
+VALUE whose dependency chain covers all of them, amortize the ~29 ms
+fetch over K. ``block_until_ready`` alone can ack early here.
+
+Usage: python benchmarks/roofline.py            (full scan, real TPU)
+       python benchmarks/roofline.py quick      (ceilings only)
 """
+import sys
 import time
 
 import numpy as np
 
 
-def run_config(BATCH, M, D, steps=200, n_total=1_000_000):
+def _timed_scan(step_fn, consts, carry, iters, n_calls=2, fetch=None):
+    """Run ``iters`` sequentially-dependent steps per jitted call,
+    ``n_calls`` times; return seconds per step.
+
+    ``step_fn(consts, carry) -> carry``. Loop-invariant operands go in
+    ``consts`` (jit arguments — NOT the scan carry, which would add a
+    per-iteration buffer rotation, and NOT a closure constant, which
+    bakes a giant literal into the HLO the relay's compile endpoint
+    rejects). ``fetch(carry)`` must return an array whose value depends
+    on the FULL chain of steps (the forced host fetch is what makes the
+    timing honest on relay-attached backends)."""
+    import jax
+
+    if fetch is None:
+        def fetch(c):
+            return jax.tree_util.tree_leaves(c)[0]
+
+    @jax.jit
+    def multi(consts, carry):
+        def body(c, _):
+            return step_fn(consts, c), None
+        c, _ = jax.lax.scan(body, carry, None, length=iters)
+        return c
+
+    carry = multi(consts, carry)  # compile + warmup
+    _ = float(np.ravel(fetch(carry))[0])
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        carry = multi(consts, carry)
+    _ = float(np.ravel(fetch(carry))[0])
+    dt = time.perf_counter() - t0
+    return dt / (n_calls * iters)
+
+
+def measure_matmul_ceiling(n=4096, dtype="float32", precision="HIGHEST",
+                           iters=32):
+    """Sustained TFLOP/s of chained n x n matmuls at the given
+    dtype/precision — the MXU ceiling for that arithmetic mode."""
+    import jax
+    import jax.numpy as jnp
+
+    prec = getattr(jax.lax.Precision, precision)
+    # scale so the chained product DECAYS (spectral radius < 1): an
+    # overflowing chain poisons the measurement
+    A = (np.random.default_rng(0).standard_normal((n, n)) /
+         np.sqrt(n) * 0.5).astype(dtype)
+    A = jnp.asarray(A)
+    C0 = jnp.asarray(np.eye(n, dtype=dtype))
+
+    def step(A, C):
+        return jax.lax.dot(A, C, precision=prec)
+
+    sec = _timed_scan(step, A, C0, iters)
+    tflops = 2.0 * n ** 3 / sec / 1e12
+    print("matmul ceiling  n={:5d} {}/{:<8s}: {:7.2f} ms, {:7.2f} TFLOP/s"
+          .format(n, dtype, precision, sec * 1e3, tflops), flush=True)
+    return tflops
+
+
+def measure_cholesky_ceiling(M=512, batch=64, dtype="float32", iters=16):
+    """Sustained Cholesky TFLOP/s (batch x M x M, M^3/3 flops each)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal((batch, M, M)).astype(dtype)
+    A = jnp.asarray(W @ np.transpose(W, (0, 2, 1)) +
+                    M * np.eye(M, dtype=dtype))
+
+    def step(A, L):
+        # re-derive the input from the previous L to serialize the chain
+        return jnp.linalg.cholesky(A + 1e-12 * L[..., :1, :1])
+
+    L0 = jnp.linalg.cholesky(A)
+    sec = _timed_scan(step, A, L0, iters)
+    tflops = batch * M ** 3 / 3.0 / sec / 1e12
+    print("cholesky ceiling M={:4d} b={:4d} {}: {:7.2f} ms, "
+          "{:7.2f} TFLOP/s".format(M, batch, dtype, sec * 1e3, tflops),
+          flush=True)
+    return tflops
+
+
+def svgp_step_flops(B, M, D_in, D_out=1):
+    """Analytic matmul-class FLOPs of one SVGP ELBO + backward + adam
+    step (svgp_regression.py compute; backward ~2x the forward matmuls).
+
+    Forward:
+      Kuu gram            2 M^2 D_in
+      Kuf gram            2 M B D_in
+      S = W W^T           2 M^3
+      psi1Y               2 M B D_out
+      chol(Kuu), chol(S)  2/3 M^3
+      LinvLs (trsm)       M^3
+      Linv formation      M^3          (wide_triangular_solve)
+      LinvKuf = Linv@Kuf  2 M^2 B
+      KfuKuuInvmu         2 M B D_out
+      KfuKuuInvLs         2 M^2 B
+      LinvKufY, Linvmu    ~2 M^2 D_out
+    """
+    fwd = (2 * M * M * D_in + 2 * M * B * D_in + 2 * M ** 3 +
+           2 * M * B * D_out + (2.0 / 3.0) * M ** 3 + M ** 3 + M ** 3 +
+           2 * M * M * B + 2 * M * B * D_out + 2 * M * M * B +
+           2 * M * M * D_out)
+    return 3.0 * fwd  # fwd + ~2x fwd for backward
+
+
+def run_svgp_config(B, M, D, steps=100, n_total=1_000_000,
+                    ceiling_tflops=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -25,9 +139,9 @@ def run_config(BATCH, M, D, steps=200, n_total=1_000_000):
         create_executor
 
     rng = np.random.default_rng(0)
-    Xb = rng.random((BATCH, D)).astype(np.float32) * 4
+    Xb = rng.random((B, D)).astype(np.float32) * 4
     Yb = (np.sin(Xb[:, :1]) +
-          rng.standard_normal((BATCH, 1)).astype(np.float32) * 0.1)
+          rng.standard_normal((B, 1)).astype(np.float32) * 0.1)
     Z0 = rng.random((M, D)) * 4
 
     m = Model()
@@ -43,56 +157,64 @@ def run_config(BATCH, M, D, steps=200, n_total=1_000_000):
     infr = GradBasedInference(inference_algorithm=alg)
     infr.initialize(X=Xb, Y=Yb)
     ex = create_executor(alg, infr.params,
-                         rv_scaling={m.Y.uuid: n_total / BATCH})
+                         rv_scaling={m.Y.uuid: n_total / B})
     opt = optax.adam(1e-3)
     tr = dict(infr.params.trainable_params())
     fx = dict(infr.params.fixed_params())
     st = opt.init(tr)
+    Xj, Yj = jnp.asarray(Xb), jnp.asarray(Yb)
+    key0 = jax.random.PRNGKey(0)
 
-    def one_step(tr, st, key, X, Y):
+    def step(data, carry):
+        tr, st, key = carry
+        X, Y = data
+        key, sk = jax.random.split(key)
+
         def lf(t):
-            loss, lg, _ = ex(t, fx, [X, Y], key)
+            loss, lg, _ = ex(t, fx, [X, Y], sk)
             return lg, loss
         (_, loss), g = jax.value_and_grad(lf, has_aux=True)(tr)
         up, st2 = opt.update(g, st, tr)
-        return optax.apply_updates(tr, up), st2, loss
+        return optax.apply_updates(tr, up), st2, key
 
-    spc = 25  # steps scanned per XLA program
+    spc = max(4, min(25, steps // 4))
+    sec = _timed_scan(step, (Xj, Yj), (tr, st, key0), spc,
+                      n_calls=max(1, steps // spc))
+    flops = svgp_step_flops(B, M, D)
+    tflops = flops / sec / 1e12
+    frac = "  ({:4.1f}% of ceiling)".format(
+        100.0 * tflops / ceiling_tflops) if ceiling_tflops else ""
+    print("SVGP B={:6d} M={:4d} D={:3d}: {:8.3f} ms/step, {:7.1f} "
+          "steps/s, {:6.2f} TFLOP/s{}".format(
+              B, M, D, sec * 1e3, 1.0 / sec, tflops, frac), flush=True)
+    return tflops
 
-    @jax.jit
-    def multi_step(tr, st, key, X, Y):
-        def body(carry, sk):
-            tr, st = carry
-            tr, st, loss = one_step(tr, st, sk, X, Y)
-            return (tr, st), loss
-        (tr, st), losses = jax.lax.scan(
-            body, (tr, st), jax.random.split(key, spc))
-        return tr, st, losses[-1]
 
-    Xj, Yj = jnp.asarray(Xb), jnp.asarray(Yb)
-    key = jax.random.PRNGKey(0)
-    key, sk = jax.random.split(key)
-    tr, st, loss = multi_step(tr, st, sk, Xj, Yj)
-    float(loss)  # sync after compile+warmup
+def main():
+    import jax
+    quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+    print("device:", jax.devices()[0], flush=True)
 
-    n_calls = max(1, steps // spc)
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        key, sk = jax.random.split(key)
-        tr, st, loss = multi_step(tr, st, sk, Xj, Yj)
-    float(loss)  # single fetch forces the whole chain
-    dt = (time.perf_counter() - t0) / (n_calls * spc)
+    print("\n--- attainable ceilings (measured) ---")
+    ceil_hi = measure_matmul_ceiling(4096, "float32", "HIGHEST")
+    measure_matmul_ceiling(8192, "float32", "HIGHEST", iters=16)
+    measure_matmul_ceiling(4096, "float32", "DEFAULT")
+    measure_matmul_ceiling(4096, "bfloat16", "DEFAULT")
+    chol = measure_cholesky_ceiling(512, 64)
+    measure_cholesky_ceiling(128, 512)
+    print("f32-HIGHEST matmul ceiling: {:.2f} TFLOP/s; "
+          "cholesky: {:.2f} TFLOP/s".format(ceil_hi, chol))
+    if quick:
+        return
 
-    # forward matmul-class FLOPs: Kuf assembly, M x B triangular solve,
-    # and the B-sized contractions of the bound; x3 for fwd+bwd
-    flops = 3 * (2 * M * BATCH * D + 2 * M * M * BATCH) + 2 * M ** 3
-    print("B={:6d} M={:4d} D={:3d}: {:8.3f} ms/step, {:8.1f} steps/s, "
-          "~{:8.1f} GFLOP/s".format(BATCH, M, D, dt * 1e3, 1 / dt,
-                                    flops / dt / 1e9), flush=True)
+    print("\n--- SVGP training step MFU vs f32-HIGHEST ceiling ---")
+    run_svgp_config(1024, 128, 8, ceiling_tflops=ceil_hi)
+    run_svgp_config(8192, 128, 8, ceiling_tflops=ceil_hi)
+    run_svgp_config(65536, 128, 8, ceiling_tflops=ceil_hi)
+    run_svgp_config(65536, 512, 32, steps=50, ceiling_tflops=ceil_hi)
+    run_svgp_config(65536, 1024, 32, steps=25, ceiling_tflops=ceil_hi)
+    run_svgp_config(131072, 512, 32, steps=25, ceiling_tflops=ceil_hi)
 
 
 if __name__ == "__main__":
-    run_config(1024, 128, 8)
-    run_config(8192, 128, 8)
-    run_config(65536, 128, 8, steps=100)
-    run_config(65536, 512, 32, steps=50)
+    main()

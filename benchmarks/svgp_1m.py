@@ -1,11 +1,15 @@
 """North-star workload: SVGP regression on 10^6 points (BASELINE.json),
 driven entirely through the public API.
 
-``GradBasedInference`` + ``MinibatchInferenceLoop(batches_per_call=20)``:
-native-threaded host batching, 20 optimizer steps lax.scan'd per XLA
-program, one host sync per epoch.
+Default path: ``DeviceMinibatchLoop`` — the dataset is parked in HBM
+once and each epoch runs as ONE XLA program (on-device permutation +
+gather feeding a lax.scan of optimizer steps). Host traffic per epoch
+is a single scalar fetch, vs ~3.9 s/epoch of host->device batch
+transfer on the r1 host loop (benchmarks/NOTES.md).
 
-Usage: python benchmarks/svgp_1m.py [epochs]
+Usage: python benchmarks/svgp_1m.py [epochs] [host]
+       (pass "host" as the 2nd arg to run the old host-batching loop
+        for comparison)
 """
 import sys
 import time
@@ -13,13 +17,15 @@ import time
 import numpy as np
 
 
-def main(epochs=4, n_total=1_000_000, batch=4096, m_inducing=256, d=8):
+def main(epochs=4, n_total=1_000_000, batch=4096, m_inducing=256, d=8,
+         host_loop=False):
     from mxfusion_tpu import Model, Variable
     from mxfusion_tpu.components.variables import PositiveTransformation
     from mxfusion_tpu.components.distributions.gp.kernels import RBF
     from mxfusion_tpu.modules import SVGPRegression
     from mxfusion_tpu.inference import (MAP, GradBasedInference,
-                                        MinibatchInferenceLoop)
+                                        MinibatchInferenceLoop,
+                                        DeviceMinibatchLoop)
 
     rng = np.random.default_rng(0)
     X = rng.random((n_total, d)).astype(np.float32) * 4
@@ -39,9 +45,13 @@ def main(epochs=4, n_total=1_000_000, batch=4096, m_inducing=256, d=8):
         inducing_inputs=Variable(shape=(m_inducing, d),
                                  initial_value=Z0))
 
-    loop = MinibatchInferenceLoop(batch_size=batch,
-                                  rv_scaling={m.Y: n_total / batch},
-                                  batches_per_call=20)
+    if host_loop:
+        loop = MinibatchInferenceLoop(batch_size=batch,
+                                      rv_scaling={m.Y: n_total / batch},
+                                      batches_per_call=20)
+    else:
+        loop = DeviceMinibatchLoop(batch_size=batch,
+                                   rv_scaling={m.Y: n_total / batch})
     infr = GradBasedInference(
         inference_algorithm=MAP(model=m, observed=[m.X, m.Y]),
         grad_loop=loop)
@@ -52,13 +62,17 @@ def main(epochs=4, n_total=1_000_000, batch=4096, m_inducing=256, d=8):
              callback=lambda e, l: trajectory.append(float(l)))
     elapsed = time.perf_counter() - t0
     steps = epochs * -(-n_total // batch)
+    print("loop: {}".format("host MinibatchInferenceLoop" if host_loop
+                            else "DeviceMinibatchLoop (HBM-resident)"))
     print("per-epoch mean scaled -ELBO: {}".format(
         ["{:.4g}".format(v) for v in trajectory]))
     print("{} optimizer steps over 10^6 points in {:.1f}s -> "
-          "{:.1f} steps/s ({} epochs, incl. first-epoch compile)".format(
-              steps, elapsed, steps / elapsed, epochs))
+          "{:.1f} steps/s, {:.2f} s/epoch ({} epochs, incl. "
+          "first-epoch compile)".format(
+              steps, elapsed, steps / elapsed, elapsed / epochs, epochs))
     assert trajectory[-1] < trajectory[0], "ELBO failed to improve"
 
 
 if __name__ == "__main__":
-    main(epochs=int(sys.argv[1]) if len(sys.argv) > 1 else 4)
+    main(epochs=int(sys.argv[1]) if len(sys.argv) > 1 else 4,
+         host_loop=len(sys.argv) > 2 and sys.argv[2] == "host")

@@ -13,7 +13,8 @@ from mxfusion_tpu.components.variables import PositiveTransformation
 from mxfusion_tpu.components.distributions.gp.kernels import RBF
 from mxfusion_tpu.modules import GPRegression
 from mxfusion_tpu.inference import (
-    GradBasedInference, MAP, ModulePredictionAlgorithm, TransferInference)
+    GradBasedInference, MAP, ModulePredictionAlgorithm, TransferInference,
+    BatchInferenceLoop)
 
 SMOKE = bool(os.environ.get("MXF_SMOKE"))
 N = 60
@@ -34,10 +35,19 @@ def main():
         X=m.X, kernel=RBF(input_dim=1, variance=1., lengthscale=1.),
         noise_var=m.noise_var, shape=(m.N, 1))
 
+    # structured per-step metrics (loss, grad global-norm computed
+    # inside the jitted step; step wall time at host)
+    history = []
+    loop = BatchInferenceLoop(
+        metrics_callback=lambda i, mtr: history.append(mtr))
     infr = GradBasedInference(
-        inference_algorithm=MAP(model=m, observed=[m.X, m.Y]))
+        inference_algorithm=MAP(model=m, observed=[m.X, m.Y]),
+        grad_loop=loop)
     infr.run(max_iter=MAX_ITER, learning_rate=0.05, X=X, Y=Y,
              verbose=not SMOKE)
+    print("first/last metrics: {} -> {}".format(
+        {k: round(v, 4) for k, v in history[0].items()},
+        {k: round(v, 4) for k, v in history[-1].items()}))
     kernel = m.Y.factor._module_graph.kernel
     print("lengthscale: {:.3f}, variance: {:.3f}, noise: {:.4f}".format(
         float(np.asarray(infr.params[kernel.lengthscale]).ravel()[0]),

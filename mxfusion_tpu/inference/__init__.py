@@ -7,6 +7,7 @@ from .grad_based_inference import GradBasedInference, GradTransferInference
 from .grad_loop import GradLoop
 from .batch_loop import BatchInferenceLoop
 from .minibatch_loop import MinibatchInferenceLoop
+from .device_loop import DeviceMinibatchLoop
 from .variational import (
     VariationalInference, VariationalSamplingAlgorithm,
     StochasticVariationalInference)

@@ -50,15 +50,23 @@ class BatchInferenceLoop(GradLoop):
     caches) ride in the scan carry, so the final cache state is exact.
     """
 
-    def __init__(self, steps_per_call=1, debug=False):
+    def __init__(self, steps_per_call=1, debug=False,
+                 metrics_callback=None):
         self.steps_per_call = steps_per_call
         # debug=True runs the objective un-jitted (eager interpreter):
         # python breakpoints and value printing work inside compute()
         self.debug = debug
+        # metrics_callback(i, metrics) receives a structured per-step
+        # metrics dict computed INSIDE the jitted step ({"loss",
+        # "grad_norm"}) plus host-side "step_time_s" (SURVEY §5 metrics
+        # row). Forces one host sync per call — leave None for
+        # max-throughput runs.
+        self.metrics_callback = metrics_callback
 
     def run(self, executor, params, data, optimizer="adam",
             learning_rate=1e-3, max_iter=1000, key=None, verbose=False,
             callback=None, data_sharding=None):
+        import time as _time
         if key is None:
             key = jax.random.PRNGKey(0)
         opt = make_optimizer(optimizer, learning_rate)
@@ -69,6 +77,7 @@ class BatchInferenceLoop(GradLoop):
         if data_sharding is not None:
             data = [jax.device_put(d, s)
                     for d, s in zip(data, data_sharding)]
+        metrics_cb = self.metrics_callback
 
         def one_step(trainable, fixed, opt_state, key, data):
             def loss_fn(tr):
@@ -76,9 +85,10 @@ class BatchInferenceLoop(GradLoop):
                 return loss_for_grad, (loss, aux)
             (loss_for_grad, (loss, aux)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable)
+            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
             updates, opt_state = opt.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
-            return trainable, opt_state, loss, aux
+            return trainable, opt_state, loss, aux, metrics
 
         if self.steps_per_call <= 1:
             step = one_step if self.debug else jax.jit(one_step)
@@ -86,8 +96,9 @@ class BatchInferenceLoop(GradLoop):
             aux = {}
             print_every = max(1, max_iter // 10)
             for i in range(max_iter):
+                t0 = _time.perf_counter()
                 key, subkey = jax.random.split(key)
-                trainable, opt_state, loss, aux = step(
+                trainable, opt_state, loss, aux, metrics = step(
                     trainable, fixed, opt_state, subkey, data)
                 if aux:
                     fixed = {**fixed, **aux}
@@ -96,6 +107,10 @@ class BatchInferenceLoop(GradLoop):
                                                          float(loss)))
                 if callback is not None:
                     callback(i, loss)
+                if metrics_cb is not None:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["step_time_s"] = _time.perf_counter() - t0
+                    metrics_cb(i, m)
             params.update_params(trainable)
             params.update_params(fixed)
             return np.asarray(loss) if loss is not None else None
@@ -110,17 +125,19 @@ class BatchInferenceLoop(GradLoop):
             def body(carry, subkey):
                 tr, st, fx_aux = carry
                 fx = {**fixed, **fx_aux} if has_aux else fixed
-                tr, st, loss, aux = one_step(tr, fx, st, subkey, data)
-                return (tr, st, aux if has_aux else fx_aux), loss
+                tr, st, loss, aux, metrics = one_step(tr, fx, st, subkey,
+                                                      data)
+                return (tr, st, aux if has_aux else fx_aux), metrics
             keys = jax.random.split(key, k)
-            (tr, st, aux), losses = jax.lax.scan(
+            (tr, st, aux), metrics = jax.lax.scan(
                 body, (trainable, opt_state, aux0), keys)
-            return tr, st, aux, losses
+            return tr, st, aux, metrics
 
         n_calls = -(-max_iter // k)
         loss = None
         aux = {}
         for c in range(n_calls):
+            t0 = _time.perf_counter()
             key, subkey = jax.random.split(key)
             # seed the carried aux with CURRENT cache values so the
             # first in-scan step sees real state, not zeros (and not a
@@ -128,16 +145,21 @@ class BatchInferenceLoop(GradLoop):
             # executor's aux dtype so the scan carry types are stable
             aux0 = {u: jnp.asarray(fixed.get(u, z), dtype=z.dtype)
                     for u, z in aux_zeros.items()}
-            trainable, opt_state, aux, losses = multi_step(
+            trainable, opt_state, aux, metrics = multi_step(
                 trainable, fixed, opt_state, subkey, data, aux0)
             if has_aux:
                 fixed = {**fixed, **aux}
-            loss = losses[-1]
+            loss = metrics["loss"][-1]
             if verbose:
                 print("Iteration {} loss: {}".format((c + 1) * k,
                                                      float(loss)))
             if callback is not None:
                 callback((c + 1) * k - 1, loss)
+            if metrics_cb is not None:
+                # per-chunk: last step's in-jit metrics + amortized time
+                m = {kk: float(v[-1]) for kk, v in metrics.items()}
+                m["step_time_s"] = (_time.perf_counter() - t0) / k
+                metrics_cb((c + 1) * k - 1, m)
         params.update_params(trainable)
         params.update_params(fixed)
         return np.asarray(loss) if loss is not None else None

@@ -1,0 +1,114 @@
+"""Device-resident minibatch gradient loop.
+
+The host minibatch loop (minibatch_loop.py) gathers every batch on the
+host and ships it to the device — on a relay-attached TPU that transfer
+dominates the epoch (benchmarks/NOTES.md r1: ~3.9 s/epoch of transfer
+for a 10^6-point SVGP whose compute is far cheaper). This loop parks
+the FULL dataset in HBM once and runs the whole epoch as ONE XLA
+program: a fori-style ``lax.scan`` over batches whose body draws its
+minibatch with an on-device gather from a per-epoch on-device
+permutation. Host traffic per epoch = one scalar fetch.
+
+No reference counterpart (the reference's DataLoader is host-side,
+/root/reference/mxfusion/inference/minibatch_loop.py:66-71); this is
+the TPU-native data path the north-star workload needs.
+
+Rollover semantics match MinibatchInferenceLoop: every batch has the
+same size B (the epoch's trailing remainder wraps around the
+permutation), so the step compiles exactly once.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .minibatch_loop import MinibatchInferenceLoop
+from .batch_loop import make_optimizer, _aux_zeros
+
+
+class DeviceMinibatchLoop(MinibatchInferenceLoop):
+    """Minibatch SVI with the dataset resident in device memory.
+
+    Subclasses :class:`MinibatchInferenceLoop` so the driver binds
+    symbolic shapes to the batch size the same way; only the data path
+    differs. ``data_sharding``, when given, shards the RESIDENT dataset
+    over the mesh data axis (each device gathers from its own shard
+    under GSPMD).
+    """
+
+    def __init__(self, batch_size=100, rv_scaling=None):
+        super().__init__(batch_size=batch_size, rv_scaling=rv_scaling)
+
+    def run(self, executor, params, data, optimizer="adam",
+            learning_rate=1e-3, max_iter=1000, key=None, verbose=False,
+            callback=None, data_sharding=None):
+        """``max_iter`` counts epochs (as in MinibatchInferenceLoop)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        opt = make_optimizer(optimizer, learning_rate)
+        trainable = dict(params.trainable_params())
+        fixed = dict(params.fixed_params())
+        opt_state = opt.init(trainable)
+
+        # park the dataset in HBM once
+        data = [jnp.asarray(d) for d in data]
+        if data_sharding is not None:
+            data = [jax.device_put(d, s)
+                    for d, s in zip(data, data_sharding)]
+        N = data[0].shape[0]
+        B = min(self.batch_size, N)
+        n_batches = max(1, -(-N // B))
+        pad = n_batches * B - N
+
+        def one_step(trainable, fixed, opt_state, key, batch):
+            def loss_fn(tr):
+                loss, loss_for_grad, aux = executor(tr, fixed, batch, key)
+                return loss_for_grad, (loss, aux)
+            (_, (loss, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable)
+            updates, opt_state = opt.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss, aux
+
+        sample_batch = [d[:B] for d in data]
+        aux_zeros = _aux_zeros(executor, trainable, fixed, sample_batch,
+                               key)
+        has_aux = bool(jax.tree_util.tree_leaves(aux_zeros))
+
+        @jax.jit
+        def epoch(trainable, fixed, opt_state, key, data, aux0):
+            pkey, skey = jax.random.split(key)
+            perm = jax.random.permutation(pkey, N)
+            if pad:
+                perm = jnp.concatenate([perm, perm[:pad]])
+            idx = perm.reshape((n_batches, B))
+
+            def body(carry, xs):
+                tr, st, fx_aux = carry
+                subkey, bidx = xs
+                batch = [jnp.take(d, bidx, axis=0) for d in data]
+                fx = {**fixed, **fx_aux} if has_aux else fixed
+                tr, st, loss, aux = one_step(tr, fx, st, subkey, batch)
+                return (tr, st, aux if has_aux else fx_aux), loss
+            keys = jax.random.split(skey, n_batches)
+            (tr, st, aux), losses = jax.lax.scan(
+                body, (trainable, opt_state, aux0), (keys, idx))
+            return tr, st, aux, jnp.mean(losses), losses[-1]
+
+        last_loss = None
+        for e in range(max_iter):
+            key, subkey = jax.random.split(key)
+            aux0 = {u: jnp.asarray(fixed.get(u, z), dtype=z.dtype)
+                    for u, z in aux_zeros.items()}
+            trainable, opt_state, aux, epoch_loss, last_loss = epoch(
+                trainable, fixed, opt_state, subkey, data, aux0)
+            if has_aux:
+                fixed = {**fixed, **aux}
+            if verbose:
+                print("epoch {} loss: {}".format(e + 1,
+                                                 float(epoch_loss)))
+            if callback is not None:
+                callback(e, float(epoch_loss))
+        params.update_params(trainable)
+        params.update_params(fixed)
+        return np.asarray(last_loss) if last_loss is not None else None

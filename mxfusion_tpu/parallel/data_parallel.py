@@ -63,7 +63,7 @@ class DataParallelMinibatchLoop(MinibatchInferenceLoop):
 
 
 def make_shard_map_step(executor, mesh, optimizer, learning_rate,
-                        axis_name=DATA_AXIS):
+                        axis_name=DATA_AXIS, gather_data=False):
     """Explicit shard_map training step (manual collective placement).
 
     Each device runs the objective on its local data shard; gradients
@@ -76,27 +76,46 @@ def make_shard_map_step(executor, mesh, optimizer, learning_rate,
     key, so shards draw independent latent samples — a valid (and
     lower-variance) estimator of the same reparameterized objective.
 
-    Module caches (aux/SET_ writebacks) are not threaded through this
-    step; use the GSPMD loops for cached-prediction workflows.
+    ``gather_data=True`` is for objectives that do NOT decompose over
+    data (exact GP marginal likelihood: one N x N Cholesky over ALL
+    points): shards keep only 1/n of the dataset in HBM and
+    ``all_gather`` it over ICI inside the step, computing the full
+    objective replicated — identical math to single-device, so no
+    rv_scaling adjustment and no key folding (shards must stay
+    bit-identical).
+
+    Module caches (aux/SET_ writebacks) ARE threaded through: the step
+    returns ``(trainable, opt_state, loss, aux)`` with aux pmean-reduced
+    over the mesh (an exact no-op under ``gather_data`` where every
+    shard computes the identical cache; the mean of per-shard caches
+    otherwise). Write the returned aux into the fixed dict between
+    steps exactly as the single-device loops do.
     """
     opt = make_optimizer(optimizer, learning_rate)
     from jax.experimental.shard_map import shard_map
 
     def local_loss(tr, fx, data, key):
-        loss, loss_for_grad, _aux = executor(tr, fx, list(data), key)
-        return loss_for_grad, loss
+        loss, loss_for_grad, aux = executor(tr, fx, list(data), key)
+        return loss_for_grad, (loss, aux)
 
     def step(trainable, fixed, opt_state, key, data):
         def shard_fn(tr, fx, opt_state, key, *data_shards):
-            idx = jax.lax.axis_index(axis_name)
-            key = jax.random.fold_in(key, idx)
-            (_, loss), grads = jax.value_and_grad(
+            if gather_data:
+                data_shards = [
+                    jax.lax.all_gather(d, axis_name, axis=0, tiled=True)
+                    for d in data_shards]
+            else:
+                idx = jax.lax.axis_index(axis_name)
+                key = jax.random.fold_in(key, idx)
+            (_, (loss, aux)), grads = jax.value_and_grad(
                 local_loss, has_aux=True)(tr, fx, data_shards, key)
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
+            if jax.tree_util.tree_leaves(aux):
+                aux = jax.lax.pmean(aux, axis_name)
             updates, new_opt_state = opt.update(grads, opt_state, tr)
             new_tr = optax.apply_updates(tr, updates)
-            return new_tr, new_opt_state, loss
+            return new_tr, new_opt_state, loss, aux
 
         in_specs = (
             jax.tree_util.tree_map(lambda _: P(), trainable),
@@ -108,6 +127,7 @@ def make_shard_map_step(executor, mesh, optimizer, learning_rate,
             jax.tree_util.tree_map(lambda _: P(), trainable),
             jax.tree_util.tree_map(lambda _: P(), opt_state),
             P(),
+            P(),  # pytree-prefix spec: aux caches come out replicated
         )
         fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_rep=False)

@@ -226,3 +226,109 @@ def test_distributional_sampling_moments():
     _, pvalue = stats.kstest(samples, "norm",
                              args=(1.5, np.sqrt(2.0)))
     assert pvalue > 0.01
+
+
+# ---------------------------------------------------------------------------
+# Full per-argument sample/no-sample x dtype product sweeps, mirroring the
+# reference's parametrization (normal_test.py:24-68): every univariate
+# distribution is checked against its scipy oracle for every combination of
+# "parameter carries a sample axis" per parameter and for the random
+# variable, in both dtypes.
+# ---------------------------------------------------------------------------
+
+def _sweep_case(rng, shape, n_samples, has_s, positive=False, offset=0.0):
+    full = (n_samples,) + shape if has_s else shape
+    a = rng.random(full) + 0.1 if positive else rng.standard_normal(full)
+    return a + offset
+
+
+_SWEEP_SPECS = {
+    "normal": (Normal, ("mean", "variance"), (False, True),
+               lambda mean, variance, rv: stats.norm.logpdf(
+                   rv, mean, np.sqrt(variance))),
+    "normal_mean_precision": (
+        NormalMeanPrecision, ("mean", "precision"), (False, True),
+        lambda mean, precision, rv: stats.norm.logpdf(
+            rv, mean, np.sqrt(1.0 / precision))),
+    "gamma": (Gamma, ("alpha", "beta"), (True, True),
+              lambda alpha, beta, rv: stats.gamma.logpdf(
+                  rv, alpha, scale=1.0 / beta)),
+    "gamma_mean_variance": (
+        GammaMeanVariance, ("mean", "variance"), (True, True),
+        lambda mean, variance, rv: stats.gamma.logpdf(
+            rv, mean * mean / variance, scale=variance / mean)),
+    "beta": (Beta, ("alpha", "beta"), (True, True),
+             lambda alpha, beta, rv: stats.beta.logpdf(rv, alpha, beta)),
+    "laplace": (Laplace, ("location", "scale"), (False, True),
+                lambda location, scale, rv: stats.laplace.logpdf(
+                    rv, location, scale)),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SWEEP_SPECS))
+@pytest.mark.parametrize("dtype", ["float64", "float32"])
+@pytest.mark.parametrize("p1_s,p2_s,rv_s", [
+    (True, True, True), (True, False, True), (False, True, True),
+    (False, False, True), (True, True, False), (False, False, False)])
+def test_univariate_log_pdf_sweep(name, dtype, p1_s, p2_s, rv_s):
+    dist_cls, pnames, positive, oracle = _SWEEP_SPECS[name]
+    rng = np.random.default_rng(abs(hash((name, dtype, p1_s, p2_s,
+                                          rv_s))) % 2 ** 31)
+    shape, S = (3, 2), 4
+    p1 = _sweep_case(rng, shape, S, p1_s, positive=positive[0])
+    p2 = _sweep_case(rng, shape, S, p2_s, positive=positive[1])
+    if name == "beta":
+        rv = _sweep_case(rng, shape, S, rv_s, positive=True) % 0.8 + 0.1
+    elif name in ("gamma", "gamma_mean_variance"):
+        rv = _sweep_case(rng, shape, S, rv_s, positive=True)
+    else:
+        rv = _sweep_case(rng, shape, S, rv_s)
+    result = eval_log_pdf(
+        dist_cls, {pnames[0]: (p1, p1_s), pnames[1]: (p2, p2_s)},
+        rv, rv_s, dtype)
+    n_out = S if (p1_s or p2_s or rv_s) else 1
+    p1_np = numpy_array_reshape(p1, p1_s, 3)
+    p2_np = numpy_array_reshape(p2, p2_s, 3)
+    rv_np = numpy_array_reshape(rv, rv_s, 3)
+    expected = np.broadcast_to(oracle(p1_np, p2_np, rv_np),
+                               (n_out,) + shape)
+    rtol, atol = _tols(dtype)
+    assert result.shape == (n_out,) + shape
+    assert np.allclose(result, expected, rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("name", sorted(_SWEEP_SPECS))
+def test_univariate_log_pdf_gradients_finite(name):
+    """d(log_pdf)/d(params) exists and matches finite differences."""
+    dist_cls, pnames, positive, oracle = _SWEEP_SPECS[name]
+    rng = np.random.default_rng(17)
+    shape = (2,)
+    p1 = _sweep_case(rng, shape, 1, False, positive=positive[0],
+                     offset=0.5 if positive[0] else 0.0)
+    p2 = _sweep_case(rng, shape, 1, False, positive=positive[1],
+                     offset=0.5)
+    rv = (_sweep_case(rng, shape, 1, False, positive=True) % 0.8 + 0.1
+          if name == "beta" else
+          _sweep_case(rng, shape, 1, False,
+                      positive=name.startswith("gamma")))
+
+    def f(p1v, p2v):
+        inputs = {pnames[0]: Variable(), pnames[1]: Variable()}
+        dist = dist_cls(dtype="float64", **inputs)
+        dist._generate_outputs(shape=shape)
+        env = {inputs[pnames[0]].uuid: p1v[None],
+               inputs[pnames[1]].uuid: p2v[None],
+               dist.random_variable.uuid: jnp.asarray(rv)[None]}
+        return jnp.sum(dist.log_pdf(env))
+
+    g1, g2 = jax.grad(f, argnums=(0, 1))(jnp.asarray(p1), jnp.asarray(p2))
+    eps = 1e-6
+    for i in range(shape[0]):
+        e = np.zeros(shape)
+        e[i] = eps
+        fd1 = (f(jnp.asarray(p1 + e), jnp.asarray(p2)) -
+               f(jnp.asarray(p1 - e), jnp.asarray(p2))) / (2 * eps)
+        fd2 = (f(jnp.asarray(p1), jnp.asarray(p2 + e)) -
+               f(jnp.asarray(p1), jnp.asarray(p2 - e))) / (2 * eps)
+        assert np.isclose(float(g1[i]), float(fd1), rtol=1e-4), name
+        assert np.isclose(float(g2[i]), float(fd2), rtol=1e-4), name

@@ -1,0 +1,90 @@
+"""Device-resident minibatch loop tests (CPU; same code path as TPU)."""
+import numpy as np
+
+from mxfusion_tpu import Model, Variable
+from mxfusion_tpu.components.variables import PositiveTransformation
+from mxfusion_tpu.components.distributions import Normal
+from mxfusion_tpu.components.distributions.gp.kernels import RBF
+from mxfusion_tpu.components.functions.operators import broadcast_to
+from mxfusion_tpu.modules import SVGPRegression
+from mxfusion_tpu.inference import (
+    GradBasedInference, StochasticVariationalInference,
+    create_Gaussian_meanfield, MAP, DeviceMinibatchLoop,
+    ModulePredictionAlgorithm, TransferInference)
+
+N, B = 240, 40
+
+
+def _meanfield_model():
+    m = Model()
+    m.n = Variable()
+    m.mu = Normal.define_variable(mean=0., variance=100., shape=(1,))
+    m.s = Variable(transformation=PositiveTransformation(),
+                   initial_value=5.)
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (m.n, 1)),
+                                 variance=broadcast_to(m.s, (m.n, 1)),
+                                 shape=(m.n, 1))
+    return m
+
+
+def test_device_loop_svi_converges():
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((N, 1)) * 2.0 + 3.0
+    m = _meanfield_model()
+    q = create_Gaussian_meanfield(model=m, observed=[m.y])
+    alg = StochasticVariationalInference(num_samples=8, model=m,
+                                         posterior=q, observed=[m.y])
+    loop = DeviceMinibatchLoop(batch_size=B, rv_scaling={m.y: N / B})
+    infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
+    losses = []
+    infr.run(max_iter=40, learning_rate=0.1, y=y,
+             callback=lambda e, l: losses.append(l))
+    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    assert abs(mu_post - y.mean()) < 0.5
+    assert losses[-1] < losses[0]
+
+
+def test_device_loop_uneven_batches_rollover():
+    # N not a multiple of B: trailing batch wraps the permutation
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal((N + 7, 1)) + 2.0
+    m = _meanfield_model()
+    q = create_Gaussian_meanfield(model=m, observed=[m.y])
+    alg = StochasticVariationalInference(num_samples=8, model=m,
+                                         posterior=q, observed=[m.y])
+    loop = DeviceMinibatchLoop(batch_size=B,
+                               rv_scaling={m.y: (N + 7) / B})
+    infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
+    infr.run(max_iter=30, learning_rate=0.1, y=y)
+    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    assert abs(mu_post - y.mean()) < 0.6
+
+
+def test_device_loop_svgp_with_prediction():
+    rng = np.random.default_rng(2)
+    X = rng.random((N, 2)) * 4
+    Y = np.sin(X[:, :1]) + rng.standard_normal((N, 1)) * 0.1
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, 2))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.1)
+    Z0 = rng.random((16, 2)) * 4
+    m.Y = SVGPRegression.define_variable(
+        X=m.X, kernel=RBF(input_dim=2, variance=1.0, lengthscale=1.0),
+        noise_var=m.noise_var, shape=(m.n, 1),
+        inducing_inputs=Variable(shape=(16, 2), initial_value=Z0))
+    loop = DeviceMinibatchLoop(batch_size=B, rv_scaling={m.Y: N / B})
+    infr = GradBasedInference(
+        inference_algorithm=MAP(model=m, observed=[m.X, m.Y]),
+        grad_loop=loop)
+    infr.run(max_iter=60, learning_rate=0.02, X=X, Y=Y)
+
+    Xt = X[:20]
+    p = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+        infr_params=infr.params)
+    mu, var = p.run(X=Xt)[0]
+    err = float(np.abs(np.asarray(mu)[0, :, 0] -
+                       np.sin(Xt[:, 0])).mean())
+    assert err < 0.3, err

@@ -56,3 +56,29 @@ def test_scanned_batch_loop_uneven_chunks():
     # max_iter not a multiple of steps_per_call still runs
     _, _, ls = _train(steps_per_call=7, max_iter=20)
     assert np.isfinite(ls)
+
+
+def test_metrics_callback_reports_structured_dict():
+    """metrics_callback receives {"loss","grad_norm","step_time_s"}
+    computed inside the jitted step (SURVEY §5 metrics row)."""
+    rng = np.random.default_rng(1)
+    X = rng.random((20, 1)) * 4
+    Y = np.sin(X) + rng.standard_normal((20, 1)) * 0.1
+    for spc in (1, 5):
+        records = []
+        m = _make_gp()
+        loop = BatchInferenceLoop(
+            steps_per_call=spc,
+            metrics_callback=lambda i, mtr: records.append((i, mtr)))
+        infr = GradBasedInference(
+            inference_algorithm=MAP(model=m, observed=[m.X, m.Y]),
+            grad_loop=loop)
+        infr.run(max_iter=10, learning_rate=0.05, X=X, Y=Y)
+        assert len(records) == (10 if spc == 1 else 2)
+        for i, mtr in records:
+            assert set(mtr) == {"loss", "grad_norm", "step_time_s"}
+            assert np.isfinite(mtr["loss"])
+            assert mtr["grad_norm"] >= 0
+            assert mtr["step_time_s"] > 0
+        # gradients shrink as MAP converges
+        assert records[-1][1]["loss"] < records[0][1]["loss"]

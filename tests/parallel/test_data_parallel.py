@@ -142,6 +142,178 @@ def test_shard_map_step_runs_and_descends():
     losses = []
     for i in range(60):
         key, sk = jax.random.split(key)
-        tr, opt_state, loss = step(tr, fx, opt_state, sk, data)
+        tr, opt_state, loss, _aux = step(tr, fx, opt_state, sk, data)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def _build_exact_gp(Z_unused=None):
+    m = Model()
+    m.N = Variable()
+    m.X = Variable(shape=(m.N, 1))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.1)
+    from mxfusion_tpu.modules import GPRegression
+    kernel = RBF(input_dim=1, variance=1.0, lengthscale=1.0)
+    m.Y = GPRegression.define_variable(X=m.X, kernel=kernel,
+                                       noise_var=m.noise_var,
+                                       shape=(m.N, 1))
+    return m
+
+
+def test_shard_map_exact_gp_trains_with_cache():
+    """Exact GP (non-decomposable N x N Cholesky objective) under the
+    explicit shard_map path with gather_data=True: shards hold 1/8 of
+    the data, all_gather it over the mesh inside the step, and the
+    module's SET_ cache (X, L, LinvY) comes back replicated through the
+    step's aux output. Must match the single-device trajectory and the
+    cache-based prediction to 1e-5."""
+    import optax
+    from mxfusion_tpu.inference import (ModulePredictionAlgorithm,
+                                        TransferInference)
+    rng = np.random.default_rng(5)
+    X = rng.random((N, 1)) * 4
+    Y = np.sin(X) + rng.standard_normal((N, 1)) * 0.1
+    n_steps, lr = 25, 0.05
+
+    def train(sharded):
+        m = _build_exact_gp()
+        alg = MAP(model=m, observed=[m.X, m.Y])
+        infr = GradBasedInference(inference_algorithm=alg)
+        infr.initialize(X=X, Y=Y)
+        ex = create_executor(alg, infr.params)
+        tr = dict(infr.params.trainable_params())
+        fx = dict(infr.params.fixed_params())
+        key = jax.random.PRNGKey(0)
+        if sharded:
+            mesh = make_mesh(8)
+            step, opt = make_shard_map_step(ex, mesh, "adam", lr,
+                                            gather_data=True)
+            opt_state = opt.init(tr)
+            data = shard_data(mesh, [X, Y])
+            aux = {}
+            for _ in range(n_steps):
+                key, sk = jax.random.split(key)
+                tr, opt_state, loss, aux = step(tr, fx, opt_state, sk,
+                                                data)
+                if aux:
+                    fx = {**fx, **aux}
+        else:
+            opt = optax.adam(lr)
+            opt_state = opt.init(tr)
+            data = [jnp.asarray(X), jnp.asarray(Y)]
+
+            @jax.jit
+            def step1(tr, fx, opt_state, key):
+                def lf(t):
+                    loss, lg, aux = ex(t, fx, data, key)
+                    return lg, (loss, aux)
+                (_, (loss, aux)), g = jax.value_and_grad(
+                    lf, has_aux=True)(tr)
+                up, opt_state2 = opt.update(g, opt_state, tr)
+                return optax.apply_updates(tr, up), opt_state2, loss, aux
+            for _ in range(n_steps):
+                key, sk = jax.random.split(key)
+                tr, opt_state, loss, aux = step1(tr, fx, opt_state, sk)
+                if aux:
+                    fx = {**fx, **aux}
+        infr.params.update_params(tr)
+        infr.params.update_params(fx)
+        infr.params.fixed.update(aux.keys())
+        k = m.Y.factor._module_graph.kernel
+        ls = float(np.asarray(infr.params[k.lengthscale]))
+        # prediction from the cache written back by the LAST step
+        Xt = np.linspace(0, 4, 12)[:, None]
+        p = TransferInference(ModulePredictionAlgorithm(
+            model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+            infr_params=infr.params)
+        mu, _ = p.run(X=Xt)[0]
+        return ls, float(loss), np.asarray(mu)
+
+    ls_s, loss_s, mu_s = train(sharded=True)
+    ls_1, loss_1, mu_1 = train(sharded=False)
+    assert np.isclose(ls_s, ls_1, rtol=1e-5), (ls_s, ls_1)
+    assert np.isclose(loss_s, loss_1, rtol=1e-5)
+    np.testing.assert_allclose(mu_s, mu_1, rtol=1e-5, atol=1e-6)
+
+
+def test_2d_mesh_svgp_data_and_model_sharded():
+    """Exercise BOTH axes of make_mesh_2d on a real workload: SVGP with
+    the data batch sharded over the 'data' axis and the M-inducing axis
+    of Z / q(U) parameters sharded over the 'model' axis. GSPMD inserts
+    the collectives; the sharded training step must equal the unsharded
+    one (sharding is a layout, not a math change)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mxfusion_tpu.parallel import make_mesh_2d
+
+    rng = np.random.default_rng(6)
+    M_ind = 16
+    X = rng.random((N, 2)) * 4
+    Y = np.sin(X[:, :1]) + rng.standard_normal((N, 1)) * 0.1
+    Z0 = rng.random((M_ind, 2)) * 4
+
+    def build():
+        m = Model()
+        m.n = Variable()
+        m.X = Variable(shape=(m.n, 2))
+        m.noise_var = Variable(transformation=PositiveTransformation(),
+                               initial_value=0.1)
+        kernel = RBF(input_dim=2, variance=1.0, lengthscale=1.0)
+        m.Y = SVGPRegression.define_variable(
+            X=m.X, kernel=kernel, noise_var=m.noise_var, shape=(m.n, 1),
+            inducing_inputs=Variable(shape=(M_ind, 2),
+                                     initial_value=Z0))
+        return m
+
+    def train(mesh):
+        m = build()
+        alg = MAP(model=m, observed=[m.X, m.Y])
+        infr = GradBasedInference(inference_algorithm=alg)
+        infr.initialize(X=X, Y=Y)
+        ex = create_executor(alg, infr.params)
+        tr = dict(infr.params.trainable_params())
+        fx = dict(infr.params.fixed_params())
+        data = [jnp.asarray(X), jnp.asarray(Y)]
+        if mesh is not None:
+            data_sh = NamedSharding(mesh, P("data", None))
+            rep = NamedSharding(mesh, P())
+            data = [jax.device_put(d, data_sh) for d in data]
+            q = m.Y.factor._extra_graphs[0]
+            m_graph = m.Y.factor._module_graph
+            # shard the M axis of the variational/inducing parameters
+            m_axis_uuids = {q.qU_mean.uuid, q.qU_cov_W.uuid,
+                            q.qU_cov_diag.uuid,
+                            m_graph.inducing_inputs.uuid}
+
+            def model_sharded(a):
+                spec = P("model", *([None] * (a.ndim - 1)))
+                return jax.device_put(a, NamedSharding(mesh, spec))
+            tr = {u: model_sharded(a) if u in m_axis_uuids
+                  else jax.device_put(a, rep) for u, a in tr.items()}
+            fx = {u: jax.device_put(a, rep) for u, a in fx.items()}
+        opt = optax.adam(0.05)
+        opt_state = opt.init(tr)
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def step1(tr, fx, opt_state, key):
+            def lf(t):
+                loss, lg, aux = ex(t, fx, data, key)
+                return lg, loss
+            (_, loss), g = jax.value_and_grad(lf, has_aux=True)(tr)
+            up, opt_state2 = opt.update(g, opt_state, tr)
+            return optax.apply_updates(tr, up), opt_state2, loss
+        losses = []
+        for _ in range(10):
+            key, sk = jax.random.split(key)
+            tr, opt_state, loss = step1(tr, fx, opt_state, sk)
+            losses.append(float(loss))
+        return losses
+
+    mesh = make_mesh_2d(4, 2)
+    sharded = train(mesh)
+    plain = train(None)
+    # float32 params: partitioned reductions reassociate sums, so a
+    # few-ulp drift compounds over the 10 steps
+    np.testing.assert_allclose(sharded, plain, rtol=5e-4)
