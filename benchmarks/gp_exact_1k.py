@@ -8,6 +8,11 @@ backpropagates through them — using the scan-amortized honest protocol.
 """
 import time
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root (package not installed)
+
 import numpy as np
 
 

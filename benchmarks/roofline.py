@@ -15,8 +15,12 @@ fetch over K. ``block_until_ready`` alone can ack early here.
 Usage: python benchmarks/roofline.py            (full scan, real TPU)
        python benchmarks/roofline.py quick      (ceilings only)
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root (package not installed)
 
 import numpy as np
 
@@ -45,12 +49,18 @@ def _timed_scan(step_fn, consts, carry, iters, n_calls=2, fetch=None):
         c, _ = jax.lax.scan(body, carry, None, length=iters)
         return c
 
+    def sync(carry):
+        # index ON DEVICE, fetch ONE scalar: np.ravel here would pull
+        # the whole array (64-256 MB) across the relay and swamp the
+        # measurement (observed: 22x inflation at n=4096)
+        _ = float(fetch(carry).reshape(-1)[0])
+
     carry = multi(consts, carry)  # compile + warmup
-    _ = float(np.ravel(fetch(carry))[0])
+    sync(carry)
     t0 = time.perf_counter()
     for _ in range(n_calls):
         carry = multi(consts, carry)
-    _ = float(np.ravel(fetch(carry))[0])
+    sync(carry)
     dt = time.perf_counter() - t0
     return dt / (n_calls * iters)
 

@@ -11,8 +11,12 @@ Usage: python benchmarks/svgp_1m.py [epochs] [host]
        (pass "host" as the 2nd arg to run the old host-batching loop
         for comparison)
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root (package not installed)
 
 import numpy as np
 
@@ -57,19 +61,32 @@ def main(epochs=4, n_total=1_000_000, batch=4096, m_inducing=256, d=8,
         grad_loop=loop)
 
     trajectory = []
+    epoch_times = []
+    t_mark = [time.perf_counter()]
+
+    def cb(e, l):
+        trajectory.append(float(l))
+        now = time.perf_counter()
+        epoch_times.append(now - t_mark[0])
+        t_mark[0] = now
+
     t0 = time.perf_counter()
-    infr.run(max_iter=epochs, learning_rate=3e-3, X=X, Y=Y,
-             callback=lambda e, l: trajectory.append(float(l)))
+    infr.run(max_iter=epochs, learning_rate=3e-3, X=X, Y=Y, callback=cb)
     elapsed = time.perf_counter() - t0
-    steps = epochs * -(-n_total // batch)
+    steps_per_epoch = -(-n_total // batch)
+    steps = epochs * steps_per_epoch
+    steady = epoch_times[1:] or epoch_times
+    steady_epoch = sum(steady) / len(steady)
     print("loop: {}".format("host MinibatchInferenceLoop" if host_loop
                             else "DeviceMinibatchLoop (HBM-resident)"))
     print("per-epoch mean scaled -ELBO: {}".format(
         ["{:.4g}".format(v) for v in trajectory]))
-    print("{} optimizer steps over 10^6 points in {:.1f}s -> "
-          "{:.1f} steps/s, {:.2f} s/epoch ({} epochs, incl. "
-          "first-epoch compile)".format(
-              steps, elapsed, steps / elapsed, elapsed / epochs, epochs))
+    print("{} optimizer steps over 10^6 points in {:.1f}s total; "
+          "first epoch (compile) {:.1f}s; steady state {:.2f} s/epoch "
+          "= {:.0f} steps/s ({:.3f} ms/step)".format(
+              steps, elapsed, epoch_times[0], steady_epoch,
+              steps_per_epoch / steady_epoch,
+              steady_epoch / steps_per_epoch * 1e3))
     assert trajectory[-1] < trajectory[0], "ELBO failed to improve"
 
 

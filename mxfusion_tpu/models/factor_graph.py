@@ -438,6 +438,16 @@ class FactorGraph:
         for p in prev_g.components_graph.nodes:
             if p.name and p.name in cur_by_name:
                 match(p, cur_by_name[p.name])
+        # cross-graph identity seeds: posterior graphs replicate model
+        # variables KEEPING the UUID, so a node matched while
+        # reconciling an earlier graph anchors the BFS here even when
+        # this graph has no named nodes at all (e.g. the meanfield
+        # posterior over unnamed FlaxFunction weight variables)
+        cur_by_uuid = {c.uuid: c for c in cur_nodes}
+        for p in prev_g.components_graph.nodes:
+            mapped = uuid_map.get(p.uuid)
+            if mapped is not None and mapped in cur_by_uuid:
+                match(p, cur_by_uuid[mapped])
         # BFS expansion over labeled edges in both directions
         i = 0
         while i < len(pairs):

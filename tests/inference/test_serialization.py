@@ -133,3 +133,90 @@ def test_fixed_params_survive_save_load(tmp_path):
     assert fixed_before_resume <= set(infr2.params.fixed)
     assert not (set(infr2.params.trainable_params())
                 & set(infr2.params.fixed))
+
+
+def _make_bnn(N=30, seed=1):
+    """BNN with priors over FlaxFunction-lifted weights (mirrors
+    /root/reference/testing/inference/inference_serialization_test.py:
+    91-260, the Gluon-function round trip)."""
+    import jax
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from mxfusion_tpu.components.functions import FlaxFunction
+
+    class TinyNet(nn.Module):
+        hidden: int = 4
+
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(self.hidden)(x)
+            x = jnp.tanh(x)
+            return nn.Dense(1)(x)
+
+    net = FlaxFunction(TinyNet(), name="f", input_shapes=[(N, 2)],
+                       rng_key=jax.random.PRNGKey(seed))
+    m = Model()
+    m.x = Variable(shape=(N, 2))
+    m.r = net(m.x)
+    for name, v in m.r.factor.function.parameters.items():
+        v.set_prior(Normal(mean=broadcast_to(Variable(value=0.), v.shape),
+                           variance=broadcast_to(Variable(value=1.),
+                                                 v.shape)))
+    m.noise = Variable(transformation=PositiveTransformation(),
+                       initial_value=0.01)
+    m.y = Normal.define_variable(mean=m.r,
+                                 variance=broadcast_to(m.noise, (N, 1)),
+                                 shape=(N, 1))
+    q = create_Gaussian_meanfield(model=m, observed=[m.x, m.y])
+    alg = StochasticVariationalInference(num_samples=5, model=m,
+                                         posterior=q, observed=[m.x, m.y])
+    return m, q, alg
+
+
+def test_bnn_flax_function_save_load_roundtrip(tmp_path):
+    """FlaxFunction (BNN) round trip: the lifted flax parameters (named
+    via pytree paths) must reconcile onto a freshly built model and
+    training must resume continuously."""
+    import jax
+    rng = np.random.default_rng(4)
+    N = 30
+    X = rng.random((N, 2)) * 2 - 1
+    Y = (X[:, :1] * 0.7 - X[:, 1:] * 0.3
+         ) + rng.standard_normal((N, 1)) * 0.05
+
+    m1, q1, alg1 = _make_bnn(N)
+    infr1 = GradBasedInference(inference_algorithm=alg1)
+    losses1 = []
+    infr1.run(max_iter=60, learning_rate=0.05, x=X, y=Y,
+              callback=lambda i, l: losses1.append(float(l)))
+    path = str(tmp_path / "bnn.zip")
+    infr1.save(path)
+
+    m2, q2, alg2 = _make_bnn(N, seed=7)  # fresh UUIDs AND fresh init
+    infr2 = GradBasedInference(inference_algorithm=alg2)
+    infr2.initialize(x=X, y=Y)
+    infr2.load(path)
+
+    # every lifted weight's posterior-mean parameter moved over exactly
+    n_checked = 0
+    for (n1, v1), (n2, v2) in zip(
+            sorted(m1.r.factor.function.parameters.items()),
+            sorted(m2.r.factor.function.parameters.items())):
+        assert n1 == n2
+        mu1 = np.asarray(infr1.params[q1[v1].factor.mean])
+        mu2 = np.asarray(infr2.params[q2[v2].factor.mean])
+        np.testing.assert_allclose(mu1, mu2, rtol=1e-6)
+        n_checked += 1
+    assert n_checked == 4  # 2 layers x (kernel, bias)
+    s1 = float(np.asarray(infr1.params[m1.noise]))
+    s2 = float(np.asarray(infr2.params[m2.noise]))
+    assert np.isclose(s1, s2)
+
+    # resumed training continues from the loaded state: the first
+    # losses after reload sit near the end of the original run, far
+    # below the from-scratch start
+    losses2 = []
+    infr2.run(max_iter=30, learning_rate=0.05, x=X, y=Y,
+              callback=lambda i, l: losses2.append(float(l)))
+    assert losses2[0] < losses1[0] * 0.5
+    assert losses2[-1] < losses1[-1] * 1.5
