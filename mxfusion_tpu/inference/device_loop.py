@@ -36,15 +36,19 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
     under GSPMD).
     """
 
-    def __init__(self, batch_size=100, rv_scaling=None):
-        super().__init__(batch_size=batch_size, rv_scaling=rv_scaling)
+    def __init__(self, batch_size=100, rv_scaling=None,
+                 metrics_callback=None):
+        super().__init__(batch_size=batch_size, rv_scaling=rv_scaling,
+                         metrics_callback=metrics_callback)
 
     def run(self, executor, params, data, optimizer="adam",
             learning_rate=1e-3, max_iter=1000, key=None, verbose=False,
             callback=None, data_sharding=None):
         """``max_iter`` counts epochs (as in MinibatchInferenceLoop)."""
+        import time as _time
         if key is None:
             key = jax.random.PRNGKey(0)
+        metrics_cb = self.metrics_callback
         opt = make_optimizer(optimizer, learning_rate)
         trainable = dict(params.trainable_params())
         fixed = dict(params.fixed_params())
@@ -66,9 +70,10 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
                 return loss_for_grad, (loss, aux)
             (_, (loss, aux)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable)
+            gnorm = optax.global_norm(grads)
             updates, opt_state = opt.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
-            return trainable, opt_state, loss, aux
+            return trainable, opt_state, loss, aux, gnorm
 
         sample_batch = [d[:B] for d in data]
         aux_zeros = _aux_zeros(executor, trainable, fixed, sample_batch,
@@ -88,20 +93,23 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
                 subkey, bidx = xs
                 batch = [jnp.take(d, bidx, axis=0) for d in data]
                 fx = {**fixed, **fx_aux} if has_aux else fixed
-                tr, st, loss, aux = one_step(tr, fx, st, subkey, batch)
-                return (tr, st, aux if has_aux else fx_aux), loss
+                tr, st, loss, aux, gnorm = one_step(tr, fx, st, subkey,
+                                                    batch)
+                return (tr, st, aux if has_aux else fx_aux), (loss, gnorm)
             keys = jax.random.split(skey, n_batches)
-            (tr, st, aux), losses = jax.lax.scan(
+            (tr, st, aux), (losses, gnorms) = jax.lax.scan(
                 body, (trainable, opt_state, aux0), (keys, idx))
-            return tr, st, aux, jnp.mean(losses), losses[-1]
+            return (tr, st, aux, jnp.mean(losses), losses[-1],
+                    jnp.mean(gnorms))
 
         last_loss = None
         for e in range(max_iter):
+            t0 = _time.perf_counter()
             key, subkey = jax.random.split(key)
             aux0 = {u: jnp.asarray(fixed.get(u, z), dtype=z.dtype)
                     for u, z in aux_zeros.items()}
-            trainable, opt_state, aux, epoch_loss, last_loss = epoch(
-                trainable, fixed, opt_state, subkey, data, aux0)
+            trainable, opt_state, aux, epoch_loss, last_loss, gnorm = \
+                epoch(trainable, fixed, opt_state, subkey, data, aux0)
             if has_aux:
                 fixed = {**fixed, **aux}
             if verbose:
@@ -109,6 +117,11 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
                                                  float(epoch_loss)))
             if callback is not None:
                 callback(e, float(epoch_loss))
+            if metrics_cb is not None:
+                metrics_cb(e, {
+                    "loss": float(epoch_loss),
+                    "grad_norm": float(gnorm),
+                    "epoch_time_s": _time.perf_counter() - t0})
         params.update_params(trainable)
         params.update_params(fixed)
         return np.asarray(last_loss) if last_loss is not None else None

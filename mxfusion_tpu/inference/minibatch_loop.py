@@ -24,12 +24,16 @@ from .batch_loop import make_optimizer, _aux_zeros
 
 class MinibatchInferenceLoop(GradLoop):
     def __init__(self, batch_size=100, rv_scaling=None,
-                 batches_per_call=1):
+                 batches_per_call=1, metrics_callback=None):
         super().__init__()
         self.batch_size = batch_size
         self.rv_scaling = {v.uuid: s for v, s in rv_scaling.items()} \
             if rv_scaling is not None else None
         self.batches_per_call = batches_per_call
+        # metrics_callback(epoch, metrics): structured per-epoch metrics
+        # ({"loss", "grad_norm"} from inside the jitted step, averaged
+        # over the epoch, plus host "epoch_time_s"); SURVEY §5 metrics
+        self.metrics_callback = metrics_callback
 
     # ------------------------------------------------------------------
     def _epoch_batches(self, N, epoch):
@@ -59,6 +63,7 @@ class MinibatchInferenceLoop(GradLoop):
             learning_rate=1e-3, max_iter=1000, key=None, verbose=False,
             callback=None, data_sharding=None):
         """``max_iter`` counts epochs (as in the reference)."""
+        import time as _time
         from ..native import gather_rows
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -70,22 +75,27 @@ class MinibatchInferenceLoop(GradLoop):
         N = data[0].shape[0]
         B = min(self.batch_size, N)  # same clamp as the symbolic-dim bind
 
+        metrics_cb = self.metrics_callback
+
         def one_step(trainable, fixed, opt_state, key, batch):
             def loss_fn(tr):
                 loss, loss_for_grad, aux = executor(tr, fixed, batch, key)
                 return loss_for_grad, (loss, aux)
             (_, (loss, aux)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable)
+            gnorm = optax.global_norm(grads)
             updates, opt_state = opt.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
-            return trainable, opt_state, loss, aux
+            return trainable, opt_state, loss, aux, gnorm
 
         if self.batches_per_call <= 1:
             step = jax.jit(one_step)
             last_loss = None
             for e in range(max_iter):
+                t0 = _time.perf_counter()
                 # device-side loss accumulation: one host sync per epoch
                 batch_losses = []
+                batch_gnorms = []
                 for idx in self._epoch_batches(N, e):
                     batch = [jnp.asarray(gather_rows(d, idx))
                              for d in data]
@@ -93,17 +103,24 @@ class MinibatchInferenceLoop(GradLoop):
                         batch = [jax.device_put(a, s)
                                  for a, s in zip(batch, data_sharding)]
                     key, subkey = jax.random.split(key)
-                    trainable, opt_state, loss, aux = step(
+                    trainable, opt_state, loss, aux, gnorm = step(
                         trainable, fixed, opt_state, subkey, batch)
                     if aux:
                         fixed = {**fixed, **aux}
                     batch_losses.append(loss)
+                    batch_gnorms.append(gnorm)
                     last_loss = loss
                 epoch_loss = float(jnp.mean(jnp.stack(batch_losses)))
                 if verbose:
                     print("epoch {} loss: {}".format(e + 1, epoch_loss))
                 if callback is not None:
                     callback(e, epoch_loss)
+                if metrics_cb is not None:
+                    metrics_cb(e, {
+                        "loss": epoch_loss,
+                        "grad_norm": float(jnp.mean(
+                            jnp.stack(batch_gnorms))),
+                        "epoch_time_s": _time.perf_counter() - t0})
             params.update_params(trainable)
             params.update_params(fixed)
             return np.asarray(last_loss) if last_loss is not None else None
@@ -122,21 +139,24 @@ class MinibatchInferenceLoop(GradLoop):
                 tr, st, fx_aux = carry
                 subkey, batch = xs[0], list(xs[1:])
                 fx = {**fixed, **fx_aux} if has_aux else fixed
-                tr, st, loss, aux = one_step(tr, fx, st, subkey, batch)
-                return (tr, st, aux if has_aux else fx_aux), loss
+                tr, st, loss, aux, gnorm = one_step(tr, fx, st, subkey,
+                                                    batch)
+                return (tr, st, aux if has_aux else fx_aux), (loss, gnorm)
             keys = jax.random.split(key, k)
-            (tr, st, aux), losses = jax.lax.scan(
+            (tr, st, aux), (losses, gnorms) = jax.lax.scan(
                 body, (trainable, opt_state, aux0),
                 (keys,) + tuple(stacked))
-            return tr, st, aux, losses
+            return tr, st, aux, losses, gnorms
 
         last_loss = None
         for e in range(max_iter):
+            t0 = _time.perf_counter()
             idx_batches = self._epoch_batches(N, e)
             # pad to a multiple of k by wrapping (keeps shapes static)
             while len(idx_batches) % k != 0:
                 idx_batches.append(idx_batches[len(idx_batches) % k])
             chunk_losses = []
+            chunk_gnorms = []
             for c in range(0, len(idx_batches), k):
                 idx = np.stack(idx_batches[c:c + k])     # (k, B)
                 stacked = tuple(
@@ -148,17 +168,23 @@ class MinibatchInferenceLoop(GradLoop):
                 # the executor's aux dtype for stable scan carry types
                 aux0 = {u: jnp.asarray(fixed.get(u, z), dtype=z.dtype)
                         for u, z in aux_zeros.items()}
-                trainable, opt_state, aux, losses = multi_step(
+                trainable, opt_state, aux, losses, gnorms = multi_step(
                     trainable, fixed, opt_state, subkey, stacked, aux0)
                 if has_aux:
                     fixed = {**fixed, **aux}
                 chunk_losses.append(jnp.mean(losses))
+                chunk_gnorms.append(jnp.mean(gnorms))
                 last_loss = losses[-1]
             epoch_loss = float(jnp.mean(jnp.stack(chunk_losses)))
             if verbose:
                 print("epoch {} loss: {}".format(e + 1, epoch_loss))
             if callback is not None:
                 callback(e, epoch_loss)
+            if metrics_cb is not None:
+                metrics_cb(e, {
+                    "loss": epoch_loss,
+                    "grad_norm": float(jnp.mean(jnp.stack(chunk_gnorms))),
+                    "epoch_time_s": _time.perf_counter() - t0})
         params.update_params(trainable)
         params.update_params(fixed)
         return np.asarray(last_loss) if last_loss is not None else None

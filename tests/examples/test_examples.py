@@ -16,6 +16,7 @@ EXAMPLES = [
     "writing_a_new_distribution.py",
     "pilco/pilco_example.py",
     "data_parallel_svi.py",
+    "svgp_large_scale.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")

@@ -88,3 +88,31 @@ def test_device_loop_svgp_with_prediction():
     err = float(np.abs(np.asarray(mu)[0, :, 0] -
                        np.sin(Xt[:, 0])).mean())
     assert err < 0.3, err
+
+
+def test_minibatch_and_device_loops_report_metrics():
+    from mxfusion_tpu.inference import MinibatchInferenceLoop
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal((N, 1)) + 2.0
+    for loop_cls, kw in ((DeviceMinibatchLoop, {}),
+                         (MinibatchInferenceLoop, {}),
+                         (MinibatchInferenceLoop,
+                          {"batches_per_call": 3})):
+        records = []
+        m = _meanfield_model()
+        q = create_Gaussian_meanfield(model=m, observed=[m.y])
+        alg = StochasticVariationalInference(num_samples=6, model=m,
+                                             posterior=q,
+                                             observed=[m.y])
+        loop = loop_cls(batch_size=B, rv_scaling={m.y: N / B},
+                        metrics_callback=lambda e, mtr:
+                        records.append(mtr), **kw)
+        infr = GradBasedInference(inference_algorithm=alg,
+                                  grad_loop=loop)
+        infr.run(max_iter=5, learning_rate=0.1, y=y)
+        assert len(records) == 5, loop_cls
+        for mtr in records:
+            assert set(mtr) == {"loss", "grad_norm", "epoch_time_s"}
+            assert np.isfinite(mtr["loss"])
+            assert mtr["grad_norm"] >= 0
+            assert mtr["epoch_time_s"] > 0
