@@ -105,6 +105,12 @@ class BatchInferenceLoop(GradLoop):
                 if verbose and ((i + 1) % print_every == 0 or i == 0):
                     print("Iteration {} loss: {}".format(i + 1,
                                                          float(loss)))
+                if callback is not None or metrics_cb is not None:
+                    # sync the LIVE state into the store so callbacks
+                    # (e.g. CheckpointCallback) see current parameters,
+                    # not the values from loop entry
+                    params.update_params(trainable)
+                    params.update_params(fixed)
                 if callback is not None:
                     callback(i, loss)
                 if metrics_cb is not None:
@@ -153,6 +159,10 @@ class BatchInferenceLoop(GradLoop):
             if verbose:
                 print("Iteration {} loss: {}".format((c + 1) * k,
                                                      float(loss)))
+            if callback is not None or metrics_cb is not None:
+                # live-state sync for checkpoint-style callbacks
+                params.update_params(trainable)
+                params.update_params(fixed)
             if callback is not None:
                 callback((c + 1) * k - 1, loss)
             if metrics_cb is not None:

@@ -115,6 +115,10 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
             if verbose:
                 print("epoch {} loss: {}".format(e + 1,
                                                  float(epoch_loss)))
+            if callback is not None or metrics_cb is not None:
+                # live-state sync for checkpoint-style callbacks
+                params.update_params(trainable)
+                params.update_params(fixed)
             if callback is not None:
                 callback(e, float(epoch_loss))
             if metrics_cb is not None:

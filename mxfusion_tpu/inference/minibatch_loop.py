@@ -113,6 +113,10 @@ class MinibatchInferenceLoop(GradLoop):
                 epoch_loss = float(jnp.mean(jnp.stack(batch_losses)))
                 if verbose:
                     print("epoch {} loss: {}".format(e + 1, epoch_loss))
+                if callback is not None or metrics_cb is not None:
+                    # live-state sync for checkpoint-style callbacks
+                    params.update_params(trainable)
+                    params.update_params(fixed)
                 if callback is not None:
                     callback(e, epoch_loss)
                 if metrics_cb is not None:
@@ -178,6 +182,10 @@ class MinibatchInferenceLoop(GradLoop):
             epoch_loss = float(jnp.mean(jnp.stack(chunk_losses)))
             if verbose:
                 print("epoch {} loss: {}".format(e + 1, epoch_loss))
+            if callback is not None or metrics_cb is not None:
+                # live-state sync for checkpoint-style callbacks
+                params.update_params(trainable)
+                params.update_params(fixed)
             if callback is not None:
                 callback(e, epoch_loss)
             if metrics_cb is not None:

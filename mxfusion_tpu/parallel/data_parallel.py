@@ -25,8 +25,10 @@ from ..inference.minibatch_loop import MinibatchInferenceLoop
 class DataParallelBatchLoop(BatchInferenceLoop):
     """Full-batch loop with data sharded over a mesh."""
 
-    def __init__(self, mesh, axis_name=DATA_AXIS, steps_per_call=1):
-        super().__init__(steps_per_call=steps_per_call)
+    def __init__(self, mesh, axis_name=DATA_AXIS, steps_per_call=1,
+                 metrics_callback=None):
+        super().__init__(steps_per_call=steps_per_call,
+                         metrics_callback=metrics_callback)
         self.mesh = mesh
         self.axis_name = axis_name
 
@@ -48,8 +50,11 @@ class DataParallelMinibatchLoop(MinibatchInferenceLoop):
     """
 
     def __init__(self, mesh, batch_size=100, rv_scaling=None,
-                 axis_name=DATA_AXIS):
-        super().__init__(batch_size=batch_size, rv_scaling=rv_scaling)
+                 axis_name=DATA_AXIS, batches_per_call=1,
+                 metrics_callback=None):
+        super().__init__(batch_size=batch_size, rv_scaling=rv_scaling,
+                         batches_per_call=batches_per_call,
+                         metrics_callback=metrics_callback)
         self.mesh = mesh
         self.axis_name = axis_name
 
