@@ -85,7 +85,11 @@ class BatchInferenceLoop(GradLoop):
                 return loss_for_grad, (loss, aux)
             (loss_for_grad, (loss, aux)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable)
-            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+            # static flag: the extra all-leaf reduction is only traced
+            # in when a metrics consumer exists
+            metrics = {"loss": loss}
+            if metrics_cb is not None:
+                metrics["grad_norm"] = optax.global_norm(grads)
             updates, opt_state = opt.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss, aux, metrics
@@ -106,11 +110,7 @@ class BatchInferenceLoop(GradLoop):
                     print("Iteration {} loss: {}".format(i + 1,
                                                          float(loss)))
                 if callback is not None or metrics_cb is not None:
-                    # sync the LIVE state into the store so callbacks
-                    # (e.g. CheckpointCallback) see current parameters,
-                    # not the values from loop entry
-                    params.update_params(trainable)
-                    params.update_params(fixed)
+                    self._sync_live_state(params, trainable, fixed)
                 if callback is not None:
                     callback(i, loss)
                 if metrics_cb is not None:
@@ -160,9 +160,7 @@ class BatchInferenceLoop(GradLoop):
                 print("Iteration {} loss: {}".format((c + 1) * k,
                                                      float(loss)))
             if callback is not None or metrics_cb is not None:
-                # live-state sync for checkpoint-style callbacks
-                params.update_params(trainable)
-                params.update_params(fixed)
+                self._sync_live_state(params, trainable, fixed)
             if callback is not None:
                 callback((c + 1) * k - 1, loss)
             if metrics_cb is not None:

@@ -31,9 +31,12 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
 
     Subclasses :class:`MinibatchInferenceLoop` so the driver binds
     symbolic shapes to the batch size the same way; only the data path
-    differs. ``data_sharding``, when given, shards the RESIDENT dataset
-    over the mesh data axis (each device gathers from its own shard
-    under GSPMD).
+    differs. ``data_sharding``, when given, keeps the RESIDENT dataset
+    sharded over the mesh data axis; note that the gather uses a GLOBAL
+    random permutation, so GSPMD must move rows across devices to
+    assemble each batch (collectives over ICI) — correct, and it keeps
+    per-device HBM at 1/n of the dataset, but batch assembly is not
+    shard-local.
     """
 
     def __init__(self, batch_size=100, rv_scaling=None,
@@ -70,7 +73,9 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
                 return loss_for_grad, (loss, aux)
             (_, (loss, aux)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable)
-            gnorm = optax.global_norm(grads)
+            # static flag: only traced in when a metrics consumer exists
+            gnorm = optax.global_norm(grads) if metrics_cb is not None \
+                else jnp.zeros((), dtype=loss.dtype)
             updates, opt_state = opt.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss, aux, gnorm
@@ -116,9 +121,7 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
                 print("epoch {} loss: {}".format(e + 1,
                                                  float(epoch_loss)))
             if callback is not None or metrics_cb is not None:
-                # live-state sync for checkpoint-style callbacks
-                params.update_params(trainable)
-                params.update_params(fixed)
+                self._sync_live_state(params, trainable, fixed)
             if callback is not None:
                 callback(e, float(epoch_loss))
             if metrics_cb is not None:

@@ -83,7 +83,9 @@ class MinibatchInferenceLoop(GradLoop):
                 return loss_for_grad, (loss, aux)
             (_, (loss, aux)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable)
-            gnorm = optax.global_norm(grads)
+            # static flag: only traced in when a metrics consumer exists
+            gnorm = optax.global_norm(grads) if metrics_cb is not None \
+                else jnp.zeros((), dtype=loss.dtype)
             updates, opt_state = opt.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss, aux, gnorm
@@ -114,9 +116,7 @@ class MinibatchInferenceLoop(GradLoop):
                 if verbose:
                     print("epoch {} loss: {}".format(e + 1, epoch_loss))
                 if callback is not None or metrics_cb is not None:
-                    # live-state sync for checkpoint-style callbacks
-                    params.update_params(trainable)
-                    params.update_params(fixed)
+                    self._sync_live_state(params, trainable, fixed)
                 if callback is not None:
                     callback(e, epoch_loss)
                 if metrics_cb is not None:
@@ -166,6 +166,15 @@ class MinibatchInferenceLoop(GradLoop):
                 stacked = tuple(
                     jnp.asarray(gather_rows(d, idx.ravel()).reshape(
                         (k, B) + d.shape[1:])) for d in data)
+                if data_sharding is not None:
+                    # shard the BATCH axis (now axis 1 of the stacked
+                    # (k, B, ...) array) with the caller's batch spec
+                    from jax.sharding import NamedSharding, \
+                        PartitionSpec as P
+                    stacked = tuple(
+                        jax.device_put(a, NamedSharding(
+                            sh.mesh, P(None, *sh.spec)))
+                        for a, sh in zip(stacked, data_sharding))
                 key, subkey = jax.random.split(key)
                 # seed the carried aux with CURRENT cache values (not a
                 # stale closure constant from the first call); cast to
@@ -183,9 +192,7 @@ class MinibatchInferenceLoop(GradLoop):
             if verbose:
                 print("epoch {} loss: {}".format(e + 1, epoch_loss))
             if callback is not None or metrics_cb is not None:
-                # live-state sync for checkpoint-style callbacks
-                params.update_params(trainable)
-                params.update_params(fixed)
+                self._sync_live_state(params, trainable, fixed)
             if callback is not None:
                 callback(e, epoch_loss)
             if metrics_cb is not None:

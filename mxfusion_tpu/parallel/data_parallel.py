@@ -89,12 +89,16 @@ def make_shard_map_step(executor, mesh, optimizer, learning_rate,
     rv_scaling adjustment and no key folding (shards must stay
     bit-identical).
 
-    Module caches (aux/SET_ writebacks) ARE threaded through: the step
-    returns ``(trainable, opt_state, loss, aux)`` with aux pmean-reduced
-    over the mesh (an exact no-op under ``gather_data`` where every
-    shard computes the identical cache; the mean of per-shard caches
-    otherwise). Write the returned aux into the fixed dict between
-    steps exactly as the single-device loops do.
+    Module caches (aux/SET_ writebacks): the step returns
+    ``(trainable, opt_state, loss, aux)``. Under ``gather_data=True``
+    every shard computes the IDENTICAL cache from the gathered data, so
+    the pmean is exact and the returned aux can be written into the
+    fixed dict exactly as the single-device loops do. Under
+    ``gather_data=False`` per-shard caches are functions of different
+    data shards and no element-wise reduction of them is meaningful
+    (the mean of Cholesky factors is not a Cholesky factor), so aux is
+    returned EMPTY — cached-prediction workflows need ``gather_data``
+    or the GSPMD loops.
     """
     opt = make_optimizer(optimizer, learning_rate)
     from jax.experimental.shard_map import shard_map
@@ -116,7 +120,10 @@ def make_shard_map_step(executor, mesh, optimizer, learning_rate,
                 local_loss, has_aux=True)(tr, fx, data_shards, key)
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
-            if jax.tree_util.tree_leaves(aux):
+            if not gather_data:
+                # per-shard caches are NOT reducible (see docstring)
+                aux = {}
+            elif jax.tree_util.tree_leaves(aux):
                 aux = jax.lax.pmean(aux, axis_name)
             updates, new_opt_state = opt.update(grads, opt_state, tr)
             new_tr = optax.apply_updates(tr, updates)

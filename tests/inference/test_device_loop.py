@@ -116,3 +116,24 @@ def test_minibatch_and_device_loops_report_metrics():
             assert np.isfinite(mtr["loss"])
             assert mtr["grad_norm"] >= 0
             assert mtr["epoch_time_s"] > 0
+
+
+def test_device_loop_with_sharded_resident_dataset():
+    """data_sharding keeps the HBM-resident dataset sharded over the
+    mesh; the global-permutation gather goes through GSPMD collectives
+    and must converge identically in spirit to the unsharded run."""
+    import jax
+    from mxfusion_tpu.parallel import make_mesh, batch_sharding
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal((N, 1)) + 2.5
+    m = _meanfield_model()
+    q = create_Gaussian_meanfield(model=m, observed=[m.y])
+    alg = StochasticVariationalInference(num_samples=6, model=m,
+                                         posterior=q, observed=[m.y])
+    mesh = make_mesh(8)
+    loop = DeviceMinibatchLoop(batch_size=B, rv_scaling={m.y: N / B})
+    infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
+    infr.run(max_iter=30, learning_rate=0.1, y=y,
+             data_sharding=[batch_sharding(mesh, 2)])
+    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    assert abs(mu_post - y.mean()) < 0.6

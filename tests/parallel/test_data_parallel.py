@@ -317,3 +317,31 @@ def test_2d_mesh_svgp_data_and_model_sharded():
     # float32 params: partitioned reductions reassociate sums, so a
     # few-ulp drift compounds over the 10 steps
     np.testing.assert_allclose(sharded, plain, rtol=5e-4)
+
+
+def test_data_parallel_minibatch_scanned_shards_batches():
+    """batches_per_call > 1 on DataParallelMinibatchLoop must shard the
+    stacked (k, B, ...) batches over the mesh (regression: the scanned
+    path used to ignore data_sharding silently)."""
+    from mxfusion_tpu.parallel import DataParallelMinibatchLoop
+    rng = np.random.default_rng(8)
+    y = rng.standard_normal((N, 1)) * 2.0 + 3.0
+    m = Model()
+    m.n = Variable()
+    m.mu = Normal.define_variable(mean=0., variance=100., shape=(1,))
+    m.s = Variable(transformation=PositiveTransformation(),
+                   initial_value=5.)
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (m.n, 1)),
+                                 variance=broadcast_to(m.s, (m.n, 1)),
+                                 shape=(m.n, 1))
+    q = create_Gaussian_meanfield(model=m, observed=[m.y])
+    alg = StochasticVariationalInference(num_samples=6, model=m,
+                                         posterior=q, observed=[m.y])
+    mesh = make_mesh(8)
+    loop = DataParallelMinibatchLoop(mesh, batch_size=40,
+                                     rv_scaling={m.y: N / 40},
+                                     batches_per_call=2)
+    infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
+    infr.run(max_iter=30, learning_rate=0.1, y=y)
+    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    assert abs(mu_post - y.mean()) < 0.6
