@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from .kernel import NativeKernel
 from .....ops.precision import einsum as p_einsum
+from .....ops.precision import data_einsum
 
 
 class StationaryKernel(NativeKernel):
@@ -30,12 +31,15 @@ class StationaryKernel(NativeKernel):
         ls = jnp.expand_dims(lengthscale, axis=-2)  # (..., 1, D)
         Xs = X / ls
         if X2 is None:
+            # square gram: feeds K + jitter -> Cholesky, keep HIGHEST
             X2s = Xs
+            cross = p_einsum("...nd,...md->...nm", Xs, X2s)
         else:
+            # cross-covariance (Kuf/Kxt): data-side precision is enough
             X2s = X2 / ls
+            cross = data_einsum("...nd,...md->...nm", Xs, X2s)
         x1sq = jnp.sum(jnp.square(Xs), axis=-1)
         x2sq = jnp.sum(jnp.square(X2s), axis=-1)
-        cross = p_einsum("...nd,...md->...nm", Xs, X2s)
         R2 = x1sq[..., :, None] + x2sq[..., None, :] - 2.0 * cross
         return jnp.maximum(R2, 0.0)
 

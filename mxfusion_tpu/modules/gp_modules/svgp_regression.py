@@ -33,6 +33,7 @@ from ...inference.forward_sampling import ForwardSamplingAlgorithm
 from ...ops.linalg import (make_diagonal, broadcast_to_w_samples,
                            wide_triangular_solve)
 from ...ops.precision import einsum as p_einsum
+from ...ops.precision import data_einsum
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -84,15 +85,18 @@ class SVGPRegressionLogPdf(VariationalInference):
         if has_mean:
             Y = Y - env[self.model.mean]
 
-        psi1Y = p_einsum("...mn,...nd->...md", Kuf, Y / noise_var)
+        psi1Y = data_einsum("...mn,...nd->...md", Kuf,
+                            Y / noise_var)
         L = jnp.linalg.cholesky(Kuu)
         Ls = jnp.linalg.cholesky(S)
         LinvLs = jsl.solve_triangular(L, Ls, lower=True)
         Linvmu = jsl.solve_triangular(L, mu, lower=True)
         LinvKuf = wide_triangular_solve(L, Kuf, lower=True)
 
-        KfuKuuInvmu = p_einsum("...mn,...md->...nd", LinvKuf, Linvmu)
-        KfuKuuInvLs = p_einsum("...mn,...mk->...nk", LinvKuf, LinvLs)
+        KfuKuuInvmu = data_einsum("...mn,...md->...nd", LinvKuf,
+                                  Linvmu)
+        KfuKuuInvLs = data_einsum("...mn,...mk->...nk", LinvKuf,
+                                  LinvLs)
         LinvKufY = jsl.solve_triangular(L, psi1Y, lower=True)
 
         sumlogdiag_Ls = jnp.sum(jnp.log(

@@ -44,7 +44,7 @@ def wide_triangular_solve(L, B, lower=True):
     no inverse materialization).
     """
     import jax.scipy.linalg as jsl
-    from .precision import einsum as p_einsum
+    from .precision import data_einsum
     M = L.shape[-1]
     n_rhs = B.shape[-1]
     if n_rhs < 4 * M:
@@ -52,7 +52,9 @@ def wide_triangular_solve(L, B, lower=True):
     eye = jnp.eye(M, dtype=L.dtype)
     Linv = jsl.solve_triangular(L, jnp.broadcast_to(
         eye, L.shape[:-2] + (M, M)), lower=lower)
-    return p_einsum("...ij,...jk->...ik", Linv, B)
+    # the wide RHS is the data axis: runs at the configured data-side
+    # precision (ops.precision; default HIGHEST)
+    return data_einsum("...ij,...jk->...ik", Linv, B)
 
 
 def cholesky_logdet(A):

@@ -1,0 +1,72 @@
+"""Precision policy tests: pinned-HIGHEST GP contractions and the
+opt-in data-side precision flag (ops/precision.py)."""
+
+
+def test_data_precision_flag_roundtrip_and_equivalence():
+    """set_data_precision controls data-side contractions; on CPU every
+    precision mode is full f32, so the flag must not change results —
+    this pins the plumbing (flag read at trace time, restored safely)."""
+    import numpy as np
+    import jax
+    from mxfusion_tpu.ops import precision
+
+    assert precision.get_data_precision() == jax.lax.Precision.HIGHEST
+    a = np.random.default_rng(0).standard_normal((8, 16))
+    b = np.random.default_rng(1).standard_normal((16, 4))
+    base = np.asarray(precision.data_einsum("nk,kd->nd", a, b))
+    try:
+        precision.set_data_precision("default")
+        assert precision.get_data_precision() == jax.lax.Precision.DEFAULT
+        out = np.asarray(precision.data_einsum("nk,kd->nd", a, b))
+        np.testing.assert_allclose(out, base, rtol=1e-6)
+        precision.set_data_precision(jax.lax.Precision.HIGH)
+        assert precision.get_data_precision() == jax.lax.Precision.HIGH
+    finally:
+        precision.set_data_precision("highest")
+    assert precision.get_data_precision() == jax.lax.Precision.HIGHEST
+
+
+def test_data_precision_svgp_elbo_unchanged_on_cpu():
+    """With the flag flipped, the SVGP ELBO on CPU must be bit-equal to
+    the HIGHEST run (CPU has no bf16 passes) — catches any accidental
+    math change riding along with the precision plumbing."""
+    import numpy as np
+    import jax
+    from mxfusion_tpu import Model, Variable
+    from mxfusion_tpu.components.variables import PositiveTransformation
+    from mxfusion_tpu.components.distributions.gp.kernels import RBF
+    from mxfusion_tpu.modules import SVGPRegression
+    from mxfusion_tpu.inference import MAP, GradBasedInference, \
+        create_executor
+    from mxfusion_tpu.ops import precision
+
+    def elbo():
+        rng = np.random.default_rng(0)
+        X = rng.random((40, 2)) * 4
+        Y = np.sin(X[:, :1]) + rng.standard_normal((40, 1)) * 0.1
+        m = Model()
+        m.n = Variable()
+        m.X = Variable(shape=(m.n, 2))
+        m.noise_var = Variable(transformation=PositiveTransformation(),
+                               initial_value=0.1)
+        m.Y = SVGPRegression.define_variable(
+            X=m.X, kernel=RBF(input_dim=2, variance=1.0, lengthscale=1.0),
+            noise_var=m.noise_var, shape=(m.n, 1),
+            inducing_inputs=Variable(shape=(8, 2),
+                                     initial_value=rng.random((8, 2)) * 4))
+        alg = MAP(model=m, observed=[m.X, m.Y])
+        infr = GradBasedInference(inference_algorithm=alg)
+        infr.initialize(X=X, Y=Y)
+        ex = create_executor(alg, infr.params)
+        loss, _, _ = ex(infr.params.trainable_params(),
+                        infr.params.fixed_params(),
+                        [X, Y], jax.random.PRNGKey(0))
+        return float(loss)
+
+    hi = elbo()
+    try:
+        precision.set_data_precision("default")
+        lo = elbo()
+    finally:
+        precision.set_data_precision("highest")
+    assert hi == lo, (hi, lo)
