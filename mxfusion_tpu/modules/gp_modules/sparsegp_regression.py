@@ -27,6 +27,7 @@ from ...inference.forward_sampling import ForwardSamplingAlgorithm
 from ...ops.linalg import broadcast_to_w_samples, \
     wide_triangular_solve
 from ...ops.precision import einsum as p_einsum
+from ...ops.precision import data_precision_scope
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -41,6 +42,13 @@ class SparseGPRegressionLogPdf(VariationalInference):
         self.jitter = jitter
 
     def compute(self, env, ctx):
+        # the collapsed bound's A = I + LinvKuf LinvKufT / noise feeds a
+        # Cholesky, so the globally relaxable data-side precision is
+        # pinned back to HIGHEST for this whole computation
+        with data_precision_scope("highest"):
+            return self._compute_highest(env, ctx)
+
+    def _compute_highest(self, env, ctx):
         has_mean = self.model.F.factor.has_mean
         X = env[self.model.X]
         Y = env[self.model.Y]
@@ -172,7 +180,13 @@ class SparseGPRegressionSamplingPrediction(
         self.jitter = jitter
 
     def compute(self, env, ctx):
-        mu, var = self._moments(env)
+        if self.diagonal_variance:
+            mu, var = self._moments(env)
+        else:
+            # full predictive covariance feeds a Cholesky below: pin
+            # HIGHEST even when data-side precision is relaxed globally
+            with data_precision_scope("highest"):
+                mu, var = self._moments(env)
         out_shape = (self.num_samples,) + mu.shape[1:]
         if self.diagonal_variance:
             die = self._rand_gen.sample_normal(

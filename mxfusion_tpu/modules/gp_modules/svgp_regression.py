@@ -33,6 +33,7 @@ from ...inference.forward_sampling import ForwardSamplingAlgorithm
 from ...ops.linalg import (make_diagonal, broadcast_to_w_samples,
                            wide_triangular_solve)
 from ...ops.precision import einsum as p_einsum
+from ...ops.precision import data_precision_scope
 from ...ops.precision import data_einsum
 
 LOG2PI = float(np.log(2.0 * np.pi))
@@ -211,7 +212,13 @@ class SVGPRegressionSamplingPrediction(SVGPRegressionMeanVariancePrediction):
             else default_rand_gen()
 
     def compute(self, env, ctx):
-        mu, var = self._moments(env)
+        if self.diagonal_variance:
+            mu, var = self._moments(env)
+        else:
+            # full predictive covariance feeds a Cholesky below: pin
+            # HIGHEST even when data-side precision is relaxed globally
+            with data_precision_scope("highest"):
+                mu, var = self._moments(env)
         out_shape = (self.num_samples,) + mu.shape[1:]
         if self.diagonal_variance:
             die = self._rand_gen.sample_normal(

@@ -21,15 +21,21 @@ def einsum(equation, *operands):
 
 # --------------------------------------------------------------------------
 # Data-side precision: contractions whose outputs feed ONLY the bound's
-# quadratic/reduction terms (cross-covariance Kuf assembly, the M x B
-# solves/products of the SVGP ELBO) never enter a Cholesky, so their
-# rounding acts like extra likelihood noise rather than a stability
-# hazard. They dominate the FLOPs at production shapes, and the TPU runs
-# DEFAULT (bf16-pass) matmuls ~4x faster than HIGHEST. Default remains
-# HIGHEST (bit-identical to the always-pinned behavior); opt in with
-# set_data_precision("default") — measured ~1.9x on the SVGP step at
-# B=65536/M=512 with a matching ELBO trajectory (benchmarks/NOTES.md).
-# Kuu-side grams and everything feeding a Cholesky ALWAYS stay HIGHEST.
+# quadratic/reduction terms (the M x B solves/products of the SVGP
+# ELBO) never enter a Cholesky, so their rounding degrades gradient
+# quality gracefully rather than destabilizing a factorization. They
+# dominate the FLOPs at production shapes. Default remains HIGHEST
+# (bit-identical to the always-pinned behavior). Opt-in guidance, all
+# measured on the v5e (benchmarks/NOTES.md):
+#   "high"    3-pass bf16 — 1.51x on the B=65536/M=512 SVGP step;
+#             20-epoch 10^6-point convergence equivalent to HIGHEST.
+#             The recommended fast mode.
+#   "default" 1-pass bf16 — 2.06x, but measured late-stage convergence
+#             degradation on tight-noise GP regression (the bound's
+#             near-cancelling terms amplify the 2^-8 rounding); only
+#             for early epochs / noise-dominated objectives.
+# Kuu-side grams, the R2 cross term (cancellation-sensitive), and
+# everything feeding a Cholesky ALWAYS stay HIGHEST.
 #
 # The flag is read at trace time: set it before executors are built /
 # jitted (a compiled function keeps whatever precision it traced with).
@@ -54,3 +60,24 @@ def get_data_precision():
 def data_einsum(equation, *operands):
     """einsum at the configured data-side precision (see above)."""
     return jnp.einsum(equation, *operands, precision=_DATA_PRECISION)
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def data_precision_scope(precision):
+    """Temporarily force the data-side precision (trace-time scope).
+
+    Used by code whose "data-side" products actually feed a Cholesky —
+    e.g. the Titsias bound's A = I + LinvKuf LinvKufT / noise, where a
+    relaxed Kuf could push A indefinite at extreme N/noise ratios — to
+    pin HIGHEST locally regardless of the global opt-in.
+    """
+    global _DATA_PRECISION
+    old = _DATA_PRECISION
+    set_data_precision(precision)
+    try:
+        yield
+    finally:
+        _DATA_PRECISION = old

@@ -70,3 +70,64 @@ def test_data_precision_svgp_elbo_unchanged_on_cpu():
     finally:
         precision.set_data_precision("highest")
     assert hi == lo, (hi, lo)
+
+
+def test_data_precision_scope_pins_and_restores():
+    import jax
+    from mxfusion_tpu.ops import precision
+    precision.set_data_precision("default")
+    try:
+        with precision.data_precision_scope("highest"):
+            assert precision.get_data_precision() == \
+                jax.lax.Precision.HIGHEST
+        assert precision.get_data_precision() == \
+            jax.lax.Precision.DEFAULT
+    finally:
+        precision.set_data_precision("highest")
+
+
+def test_relaxed_precision_cholesky_paths_stay_pinned():
+    """Titsias training + full-covariance sampling prediction still work
+    with the global flag relaxed (their Cholesky-feeding chains pin
+    HIGHEST through data_precision_scope) and restore the flag."""
+    import numpy as np
+    import jax
+    from mxfusion_tpu import Model, Variable
+    from mxfusion_tpu.components.variables import PositiveTransformation
+    from mxfusion_tpu.components.distributions.gp.kernels import RBF
+    from mxfusion_tpu.modules import SparseGPRegression
+    from mxfusion_tpu.inference import (MAP, GradBasedInference,
+                                        TransferInference)
+    from mxfusion_tpu.inference.prediction import \
+        ModulePredictionAlgorithm
+    from mxfusion_tpu.ops import precision
+
+    rng = np.random.default_rng(0)
+    X = rng.random((30, 1)) * 4
+    Y = np.sin(X) + rng.standard_normal((30, 1)) * 0.1
+    try:
+        precision.set_data_precision("default")
+        m = Model()
+        m.N = Variable()
+        m.X = Variable(shape=(m.N, 1))
+        m.noise_var = Variable(
+            transformation=PositiveTransformation(), initial_value=0.1)
+        m.Y = SparseGPRegression.define_variable(
+            X=m.X, kernel=RBF(input_dim=1, variance=1.0,
+                              lengthscale=1.0),
+            noise_var=m.noise_var, shape=(m.N, 1),
+            inducing_inputs=Variable(
+                shape=(8, 1),
+                initial_value=np.linspace(0, 4, 8)[:, None]))
+        infr = GradBasedInference(
+            inference_algorithm=MAP(model=m, observed=[m.X, m.Y]))
+        infr.run(max_iter=30, learning_rate=0.05, X=X, Y=Y)
+        p = TransferInference(ModulePredictionAlgorithm(
+            model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+            infr_params=infr.params)
+        mu, var = p.run(X=X[:10])[0]
+        assert np.all(np.isfinite(np.asarray(mu)))
+        assert precision.get_data_precision() == \
+            jax.lax.Precision.DEFAULT  # scopes restored the flag
+    finally:
+        precision.set_data_precision("highest")
