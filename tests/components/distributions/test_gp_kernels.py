@@ -165,3 +165,78 @@ def test_kernel_replication_maps_parameters():
     assert rep.lengthscale is amap[kern.lengthscale]
     assert rep.lengthscale.uuid == kern.lengthscale.uuid
     assert rep.parameter_names == kern.parameter_names
+
+
+def test_rational_quadratic_matches_closed_form():
+    from mxfusion_tpu.components.distributions.gp.kernels import \
+        RationalQuadratic
+    rng = np.random.default_rng(20)
+    X = rng.random((7, 2)) * 3
+    X2 = rng.random((5, 2)) * 3
+    ls, var, alpha = 0.7, 1.3, 2.5
+    k = RationalQuadratic(input_dim=2, variance=var, lengthscale=ls,
+                          alpha=alpha, dtype="float64")
+    env = {}
+    for name, v in k.parameters.items():
+        env[v.uuid] = jnp.asarray(np.asarray(v.initial_value))[None]
+    kp = k.fetch_parameters(env)
+    K = np.asarray(k.K(jnp.asarray(X)[None], jnp.asarray(X2)[None], **kp))
+    R2 = ((X[:, None, :] - X2[None, :, :]) ** 2).sum(-1) / ls ** 2
+    expected = var * (1.0 + R2 / (2 * alpha)) ** (-alpha)
+    np.testing.assert_allclose(K[0], expected, rtol=1e-10)
+    # Kdiag == variance
+    kd = np.asarray(k.Kdiag(jnp.asarray(X)[None], **kp))
+    np.testing.assert_allclose(kd[0], var, rtol=1e-12)
+
+
+def test_periodic_matches_closed_form_and_periodicity():
+    from mxfusion_tpu.components.distributions.gp.kernels import Periodic
+    rng = np.random.default_rng(21)
+    X = rng.random((6, 1)) * 4
+    X2 = rng.random((4, 1)) * 4
+    ls, var, period = 0.9, 0.8, 1.7
+    k = Periodic(input_dim=1, variance=var, lengthscale=ls,
+                 period=period, dtype="float64")
+    env = {v.uuid: jnp.asarray(np.asarray(v.initial_value))[None]
+           for v in k.parameters.values()}
+    kp = k.fetch_parameters(env)
+    K = np.asarray(k.K(jnp.asarray(X)[None], jnp.asarray(X2)[None], **kp))
+    d = X[:, None, 0] - X2[None, :, 0]
+    expected = var * np.exp(-2.0 * (np.sin(np.pi * d / period) / ls) ** 2)
+    np.testing.assert_allclose(K[0], expected, rtol=1e-10)
+    # exact periodicity: shifting X2 by one period leaves K unchanged
+    K_shift = np.asarray(k.K(jnp.asarray(X)[None],
+                             jnp.asarray(X2 + period)[None], **kp))
+    np.testing.assert_allclose(K_shift, K, rtol=1e-8, atol=1e-10)
+
+
+def test_extra_kernels_compose_and_train_in_gp_module():
+    """RationalQuadratic + Periodic compose with Add/active_dims and fit
+    a periodic signal through the GPRegression module end-to-end."""
+    from mxfusion_tpu.components.distributions.gp.kernels import \
+        Periodic, RationalQuadratic
+    from mxfusion_tpu.modules import GPRegression
+    from mxfusion_tpu.inference import MAP, GradBasedInference
+    from mxfusion_tpu import Model, Variable
+    from mxfusion_tpu.components.variables import PositiveTransformation
+    rng = np.random.default_rng(22)
+    X = np.sort(rng.random((40, 1)) * 6, axis=0)
+    Y = np.sin(2 * np.pi * X / 1.5) + \
+        rng.standard_normal((40, 1)) * 0.05
+    kern = Periodic(input_dim=1, variance=1.0, lengthscale=1.0,
+                    period=1.2) + \
+        RationalQuadratic(input_dim=1, variance=0.2, lengthscale=2.0)
+    m = Model()
+    m.N = Variable()
+    m.X = Variable(shape=(m.N, 1))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.05)
+    m.Y = GPRegression.define_variable(X=m.X, kernel=kern,
+                                       noise_var=m.noise_var,
+                                       shape=(m.N, 1))
+    infr = GradBasedInference(
+        inference_algorithm=MAP(model=m, observed=[m.X, m.Y]))
+    losses = []
+    infr.run(max_iter=60, learning_rate=0.03, X=X, Y=Y,
+             callback=lambda i, l: losses.append(float(l)))
+    assert losses[-1] < losses[0]
