@@ -20,4 +20,5 @@ from .forward_sampling import (
 from .expectation import (
     ExpectationAlgorithm, ExpectationScoreFunctionAlgorithm)
 from .prediction import ModulePredictionAlgorithm
+from .serving import BatchedPredictor
 from .pilco_alg import PILCOAlgorithm

@@ -1,0 +1,95 @@
+"""BatchedPredictor: compile-once chunked prediction for serving."""
+import numpy as np
+
+from mxfusion_tpu import Model, Variable
+from mxfusion_tpu.components.variables import PositiveTransformation
+from mxfusion_tpu.components.distributions.gp.kernels import RBF
+from mxfusion_tpu.modules import GPRegression, SVGPRegression
+from mxfusion_tpu.inference import (
+    GradBasedInference, MAP, ModulePredictionAlgorithm,
+    TransferInference, BatchedPredictor)
+
+
+def _trained_gp(rng, N=40):
+    X = rng.random((N, 1)) * 4
+    Y = np.sin(X) + rng.standard_normal((N, 1)) * 0.1
+    m = Model()
+    m.N = Variable()
+    m.X = Variable(shape=(m.N, 1))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.1)
+    m.Y = GPRegression.define_variable(
+        X=m.X, kernel=RBF(input_dim=1, variance=1.0, lengthscale=1.0),
+        noise_var=m.noise_var, shape=(m.N, 1))
+    infr = GradBasedInference(
+        inference_algorithm=MAP(model=m, observed=[m.X, m.Y]))
+    infr.run(max_iter=60, learning_rate=0.05, X=X, Y=Y)
+    return m, infr
+
+
+def test_batched_predictor_matches_full_prediction():
+    rng = np.random.default_rng(0)
+    m, infr = _trained_gp(rng)
+    Xt = np.linspace(0, 4, 50)[:, None]
+
+    full = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+        infr_params=infr.params)
+    mu_full, var_full = full.run(X=Xt)[0]
+
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=16)
+    mu_b, var_b = pred.predict(X=Xt)[0]
+    # 50 points through chunk 16 => 3 full chunks + padded tail of 2
+    assert mu_b.shape == np.asarray(mu_full).shape
+    np.testing.assert_allclose(mu_b, np.asarray(mu_full), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(var_b, np.asarray(var_full), rtol=1e-4,
+                               atol=1e-7)
+
+
+def test_batched_predictor_reuses_compiled_executor():
+    rng = np.random.default_rng(1)
+    m, infr = _trained_gp(rng)
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=8)
+    pred.predict(X=np.linspace(0, 4, 24)[:, None])
+    jitted = pred._jitted
+    out = pred.predict(X=np.linspace(0, 4, 5)[:, None])  # N < chunk
+    assert pred._jitted is jitted  # no rebuild
+    assert out[0][0].shape[-2] == 5
+
+
+def test_batched_predictor_svgp():
+    rng = np.random.default_rng(2)
+    N = 60
+    X = rng.random((N, 2)) * 4
+    Y = np.sin(X[:, :1]) + rng.standard_normal((N, 1)) * 0.1
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, 2))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.1)
+    m.Y = SVGPRegression.define_variable(
+        X=m.X, kernel=RBF(input_dim=2, variance=1.0, lengthscale=1.0),
+        noise_var=m.noise_var, shape=(m.n, 1),
+        inducing_inputs=Variable(shape=(8, 2),
+                                 initial_value=rng.random((8, 2)) * 4))
+    infr = GradBasedInference(
+        inference_algorithm=MAP(model=m, observed=[m.X, m.Y]))
+    infr.run(max_iter=40, learning_rate=0.05, X=X, Y=Y)
+
+    full = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+        infr_params=infr.params)
+    mu_full, var_full = full.run(X=X)[0]
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=25)
+    mu_b, var_b = pred.predict(X=X)[0]
+    np.testing.assert_allclose(mu_b, np.asarray(mu_full), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(var_b, np.asarray(var_full), rtol=1e-4,
+                               atol=1e-7)
