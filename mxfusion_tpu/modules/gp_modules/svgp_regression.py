@@ -40,13 +40,22 @@ LOG2PI = float(np.log(2.0 * np.pi))
 
 
 class SVGPRegressionLogPdf(VariationalInference):
-    """Uncollapsed SVGP ELBO (reference svgp_regression.py:43-109)."""
+    """Uncollapsed SVGP ELBO (reference svgp_regression.py:43-109).
 
-    def __init__(self, model, posterior, observed, jitter=0.0):
+    ``whitened=True`` parameterizes q over the whitened inducing values
+    v = L^-1 u (u = L v, L = chol(Kuu)) — the GPflow-style
+    parameterization whose KL term is against N(0, I), decoupling the
+    variational parameters from the kernel hyperparameters for much
+    better optimization conditioning. No reference counterpart.
+    """
+
+    def __init__(self, model, posterior, observed, jitter=0.0,
+                 whitened=False):
         super().__init__(num_samples=1, model=model, posterior=posterior,
                          observed=observed)
         self.log_pdf_scaling = 1.0
         self.jitter = jitter
+        self.whitened = whitened
 
     def compute(self, env, ctx):
         has_mean = self.model.F.factor.has_mean
@@ -90,8 +99,14 @@ class SVGPRegressionLogPdf(VariationalInference):
                             Y / noise_var)
         L = jnp.linalg.cholesky(Kuu)
         Ls = jnp.linalg.cholesky(S)
-        LinvLs = jsl.solve_triangular(L, Ls, lower=True)
-        Linvmu = jsl.solve_triangular(L, mu, lower=True)
+        if self.whitened:
+            # q parameterizes v = L^-1 u directly: the L-solves and the
+            # prior logdet correction drop out of the bound
+            LinvLs = Ls
+            Linvmu = mu
+        else:
+            LinvLs = jsl.solve_triangular(L, Ls, lower=True)
+            Linvmu = jsl.solve_triangular(L, mu, lower=True)
         LinvKuf = wide_triangular_solve(L, Kuf, lower=True)
 
         KfuKuuInvmu = data_einsum("...mn,...md->...nd", LinvKuf,
@@ -102,10 +117,14 @@ class SVGPRegressionLogPdf(VariationalInference):
 
         sumlogdiag_Ls = jnp.sum(jnp.log(
             jnp.diagonal(Ls, axis1=-2, axis2=-1)), axis=-1)
-        sumlogdiag_L = jnp.sum(jnp.log(
-            jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-        # negative KL(q(U) || p(U)), summed over output columns
-        KL_u = (M / 2.0 + sumlogdiag_Ls) * D - sumlogdiag_L * D \
+        if self.whitened:
+            # negative KL(q(V) || N(0, I)), summed over output columns
+            sumlogdiag_L_D = 0.0
+        else:
+            sumlogdiag_L_D = jnp.sum(jnp.log(
+                jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1) * D
+        # negative KL(q || p), summed over output columns
+        KL_u = (M / 2.0 + sumlogdiag_Ls) * D - sumlogdiag_L_D \
             - jnp.sum(jnp.square(LinvLs), axis=(-2, -1)) / 2.0 * D \
             - jnp.sum(jnp.square(Linvmu), axis=(-2, -1)) / 2.0
 
@@ -129,12 +148,13 @@ class SVGPRegressionMeanVariancePrediction(SamplingAlgorithm):
     """Predictive moments from the explicit q(U) (reference :112-190)."""
 
     def __init__(self, model, posterior, observed, noise_free=True,
-                 diagonal_variance=True, jitter=0.0):
+                 diagonal_variance=True, jitter=0.0, whitened=False):
         super().__init__(model=model, observed=observed,
                          extra_graphs=[posterior])
         self.jitter = jitter
         self.noise_free = noise_free
         self.diagonal_variance = diagonal_variance
+        self.whitened = whitened
 
     def _moments(self, env):
         has_mean = self.model.F.factor.has_mean
@@ -161,8 +181,13 @@ class SVGPRegressionMeanVariancePrediction(SamplingAlgorithm):
             Kuu = Kuu + eye_m * self.jitter
         L = jnp.linalg.cholesky(Kuu)
         Ls = jnp.linalg.cholesky(S)
-        LinvLs = jsl.solve_triangular(L, Ls, lower=True)
-        Linvmu = jsl.solve_triangular(L, qU_mean, lower=True)
+        if self.whitened:
+            # u = L v: Linv cancels against the whitened parameters
+            LinvLs = Ls
+            Linvmu = qU_mean
+        else:
+            LinvLs = jsl.solve_triangular(L, Ls, lower=True)
+            Linvmu = jsl.solve_triangular(L, qU_mean, lower=True)
         LinvSLinvT = p_einsum("...ik,...jk->...ij", LinvLs, LinvLs)
         wv = jsl.solve_triangular(L, Linvmu, lower=True, trans="T")
 
@@ -203,10 +228,12 @@ class SVGPRegressionSamplingPrediction(SVGPRegressionMeanVariancePrediction):
     """Predictive sampling (reference :192-280)."""
 
     def __init__(self, model, posterior, observed, rand_gen=None,
-                 noise_free=True, diagonal_variance=True, jitter=0.0):
+                 noise_free=True, diagonal_variance=True, jitter=0.0,
+                 whitened=False):
         super().__init__(model=model, posterior=posterior, observed=observed,
                          noise_free=noise_free,
-                         diagonal_variance=diagonal_variance, jitter=jitter)
+                         diagonal_variance=diagonal_variance, jitter=jitter,
+                         whitened=whitened)
         from ...components.distributions.random_gen import default_rand_gen
         self._rand_gen = rand_gen if rand_gen is not None \
             else default_rand_gen()
@@ -246,8 +273,9 @@ class SVGPRegression(Module):
 
     def __init__(self, X, kernel, noise_var, inducing_inputs=None,
                  num_inducing=10, mean=None, rand_gen=None, dtype=None,
-                 jitter=1e-5):
+                 jitter=1e-5, whitened=False):
         self.jitter = jitter
+        self.whitened = whitened
         if not isinstance(X, Variable):
             X = Variable(value=X)
         if not isinstance(noise_var, Variable):
@@ -320,7 +348,7 @@ class SVGPRegression(Module):
             targets=self.output_names, conditionals=self.input_names,
             algorithm=SVGPRegressionLogPdf(
                 self._module_graph, self._extra_graphs[0], observed,
-                jitter=self.jitter),
+                jitter=self.jitter, whitened=self.whitened),
             alg_name="svgp_log_pdf")
         observed = [v for _, v in self.inputs]
         self.attach_draw_samples_algorithms(
@@ -331,17 +359,19 @@ class SVGPRegression(Module):
             targets=self.output_names, conditionals=self.input_names,
             algorithm=SVGPRegressionMeanVariancePrediction(
                 self._module_graph, self._extra_graphs[0], observed,
-                jitter=self.jitter),
+                jitter=self.jitter, whitened=self.whitened),
             alg_name="svgp_predict")
 
     @staticmethod
     def define_variable(X, kernel, noise_var, shape=None,
                         inducing_inputs=None, num_inducing=10, mean=None,
-                        rand_gen=None, dtype=None, jitter=1e-5):
+                        rand_gen=None, dtype=None, jitter=1e-5,
+                        whitened=False):
         gp = SVGPRegression(
             X=X, kernel=kernel, noise_var=noise_var,
             inducing_inputs=inducing_inputs, num_inducing=num_inducing,
-            mean=mean, rand_gen=rand_gen, dtype=dtype, jitter=jitter)
+            mean=mean, rand_gen=rand_gen, dtype=dtype, jitter=jitter,
+            whitened=whitened)
         gp._generate_outputs({"random_variable": shape})
         return gp.random_variable
 
@@ -354,4 +384,5 @@ class SVGPRegression(Module):
                 rep._module_graph.U.factor.kernel
         rep._has_mean = self._has_mean
         rep.jitter = self.jitter
+        rep.whitened = self.whitened
         return rep
