@@ -43,11 +43,15 @@ def main():
     m.noise_var = Variable(transformation=PositiveTransformation(),
                            initial_value=0.5)
     kernel = RBF(input_dim=D, variance=1.0, lengthscale=1.0)
+    # whitened=True: q over v = L^-1 u (KL against N(0, I)) — the
+    # recommended parameterization; measured ~2x faster convergence on
+    # short-lengthscale problems (benchmarks/NOTES.md)
     m.Y = SVGPRegression.define_variable(
         X=m.X, kernel=kernel, noise_var=m.noise_var, shape=(m.n, 1),
         inducing_inputs=Variable(shape=(M_INDUCING, D),
                                  initial_value=rng.random(
-                                     (M_INDUCING, D)) * 4))
+                                     (M_INDUCING, D)) * 4),
+        whitened=True)
 
     loop = DeviceMinibatchLoop(batch_size=BATCH,
                                rv_scaling={m.Y: N / BATCH})
