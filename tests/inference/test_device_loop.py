@@ -137,3 +137,42 @@ def test_device_loop_with_sharded_resident_dataset():
              data_sharding=[batch_sharding(mesh, 2)])
     mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
     assert abs(mu_post - y.mean()) < 0.6
+
+
+def test_device_loop_carries_module_caches():
+    """A module with SET_ caches (exact GP: X/L/LinvY) trained through
+    the device loop: the aux pytree must ride the epoch scan and the
+    FINAL batch's cache must land in fixed storage usable for
+    prediction (mechanics of the aux carry; statistically each batch is
+    a subset-GP, which is fine for this purpose)."""
+    from mxfusion_tpu.modules import GPRegression
+    rng = np.random.default_rng(9)
+    n, b = 80, 40
+    X = rng.random((n, 1)) * 4
+    Y = np.sin(X) + rng.standard_normal((n, 1)) * 0.1
+    m = Model()
+    m.N = Variable()
+    m.X = Variable(shape=(m.N, 1))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.1)
+    m.Y = GPRegression.define_variable(
+        X=m.X, kernel=RBF(input_dim=1, variance=1.0, lengthscale=1.0),
+        noise_var=m.noise_var, shape=(m.N, 1))
+    loop = DeviceMinibatchLoop(batch_size=b, rv_scaling={m.Y: 1.0})
+    infr = GradBasedInference(
+        inference_algorithm=MAP(model=m, observed=[m.X, m.Y]),
+        grad_loop=loop)
+    infr.run(max_iter=20, learning_rate=0.02, X=X, Y=Y)
+    # caches exist, are fixed, and are batch-sized (bound to B)
+    assert len(infr.params.fixed) > 0
+    for u in infr.params.fixed:
+        arr = np.asarray(infr.params.param_dict[u])
+        assert np.all(np.isfinite(arr))
+        assert arr.shape[0] == b or arr.shape[-2] == b or \
+            arr.shape[-1] == b, arr.shape
+    # the cached state supports prediction
+    p = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+        infr_params=infr.params)
+    mu, var = p.run(X=X[:10])[0]
+    assert np.all(np.isfinite(np.asarray(mu)))
