@@ -11,7 +11,6 @@ import jax.numpy as jnp
 
 from .kernel import NativeKernel
 from .....ops.precision import einsum as p_einsum
-from .....ops.precision import data_einsum
 
 
 class StationaryKernel(NativeKernel):

@@ -22,6 +22,7 @@ from abc import ABC, abstractmethod
 import jax
 import jax.numpy as jnp
 
+from ..common.exceptions import InferenceError
 from ..components.variables.variable import VariableType
 from ..util.inference import variables_to_UUID
 
@@ -55,6 +56,11 @@ class RuntimeContext:
         self.aux = {}
 
     def next_key(self):
+        if self.key is None:
+            raise InferenceError(
+                "This computation draws random samples but no PRNG key "
+                "was provided: pass ctx=RuntimeContext(key) (or a key "
+                "to the calling API) instead of relying on a default.")
         self.key, sub = jax.random.split(self.key)
         return sub
 

@@ -50,8 +50,6 @@ class BatchedPredictor:
         executor = create_sampling_executor(
             self._infr.inference_algorithm, self._infr.params)
         self._jitted = jax.jit(executor)
-        self._trainable = self._infr.params.trainable_params()
-        self._fixed = self._infr.params.fixed_params()
 
     def predict(self, key=None, **kwargs):
         """Predict for the named observed inputs; any leading-axis
@@ -68,7 +66,22 @@ class BatchedPredictor:
         C = self._chunk
         if key is None:
             key = jax.random.PRNGKey(0)
+        # live views: pick up any training that happened through the
+        # same infr_params since compile (params are jit ARGUMENTS, so
+        # no recompilation; r2 advisor finding on stale snapshots)
+        trainable = self._infr.params.trainable_params()
+        fixed = self._infr.params.fixed_params()
+
         def data_axis(x):
+            if x.ndim >= 2 and x.shape[-2] == C and x.shape[-1] == C:
+                # e.g. a full predictive covariance (s, C, C): no way to
+                # tell the data axis apart — out of scope for this class
+                raise ValueError(
+                    "ambiguous output leaf of shape {} (two axes match "
+                    "the chunk size {}): BatchedPredictor supports "
+                    "diagonal-variance predictions only — use "
+                    "diagonal_variance=True on the module's prediction "
+                    "algorithm.".format(x.shape, C))
             if x.ndim >= 2 and x.shape[-2] == C:
                 return x.ndim - 2
             if x.shape[-1] == C:
@@ -86,8 +99,7 @@ class BatchedPredictor:
                 chunk = [np.concatenate(
                     [c, np.repeat(c[-1:], pad, axis=0)]) for c in chunk]
             key, subkey = jax.random.split(key)
-            out = self._jitted(self._trainable, self._fixed, chunk,
-                               subkey)
+            out = self._jitted(trainable, fixed, chunk, subkey)
             leaves, treedef = jax.tree_util.tree_flatten(out)
             chunks.append((pad, [np.asarray(x) for x in leaves]))
 

@@ -225,7 +225,11 @@ class Module(Factor):
                                   exact_match=True)
         alg.log_pdf_scaling = self.log_pdf_scaling
         if ctx is None:
-            ctx = RuntimeContext(jax.random.PRNGKey(0))
+            # keyless context: deterministic log-pdf algorithms (the GP
+            # modules) run fine; anything that actually samples raises a
+            # clear "pass a PRNG key" error instead of silently reusing
+            # PRNGKey(0) (r2 advisor finding).
+            ctx = RuntimeContext(None)
         result = alg.compute(env, ctx)
         if isinstance(result, tuple):
             result = result[0]

@@ -46,7 +46,14 @@ _DATA_PRECISION = jax.lax.Precision.HIGHEST
 
 def set_data_precision(precision):
     """Set the precision for data-side (non-Cholesky-feeding) GP
-    contractions: "highest" (default), "high", or "default"."""
+    contractions: "highest" (default), "high", or "default".
+
+    TRACE-TIME flag: it is read when an executor is traced/jitted, so
+    call it BEFORE building executors. Flipping it after a function has
+    been compiled has no effect on that function (the compiled program
+    keeps the precision it traced with) — rebuild the executor to apply
+    a new setting.
+    """
     global _DATA_PRECISION
     if isinstance(precision, str):
         precision = getattr(jax.lax.Precision, precision.upper())

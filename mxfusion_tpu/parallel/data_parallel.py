@@ -101,7 +101,10 @@ def make_shard_map_step(executor, mesh, optimizer, learning_rate,
     or the GSPMD loops.
     """
     opt = make_optimizer(optimizer, learning_rate)
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     def local_loss(tr, fx, data, key):
         loss, loss_for_grad, aux = executor(tr, fx, list(data), key)
@@ -141,8 +144,13 @@ def make_shard_map_step(executor, mesh, optimizer, learning_rate,
             P(),
             P(),  # pytree-prefix spec: aux caches come out replicated
         )
+        # jax>=0.8 renamed check_rep -> check_vma; pass whichever the
+        # installed shard_map accepts
+        import inspect
+        kw = ("check_vma" if "check_vma" in
+              inspect.signature(shard_map).parameters else "check_rep")
         fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_specs, check_rep=False)
+                       out_specs=out_specs, **{kw: False})
         return fn(trainable, fixed, opt_state, key, *data)
 
     return jax.jit(step), opt

@@ -59,7 +59,7 @@ def test_factor_named_access_and_rewire():
     out = Variable()
     f.set_outputs([out])
     assert f.random_variable is out
-    assert float(np.asarray(dict(f.inputs)["mean"].constant)) == 1.5
+    assert np.asarray(dict(f.inputs)["mean"].constant).item() == 1.5
     new_mean = Variable()
     f.set_single_input("mean", new_mean)
     assert dict(f.inputs)["mean"] is new_mean

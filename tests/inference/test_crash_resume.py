@@ -44,8 +44,8 @@ def test_crash_and_resume(tmp_path):
         ckpt(i, loss)
         losses.append(float(loss))
         if i == 19:  # remember the live state the checkpoint captured
-            at_ckpt["mu"] = float(np.asarray(
-                infr.params[q.mu.factor.mean]))
+            at_ckpt["mu"] = np.asarray(
+                infr.params[q.mu.factor.mean]).item()
         if i == 24:  # crash after the step-20 checkpoint was written
             raise SimulatedCrash()
 
@@ -61,11 +61,11 @@ def test_crash_and_resume(tmp_path):
     # the checkpoint must hold the TRAINED step-20 state, not the values
     # from loop entry (regression: loops used to write back only at the
     # end of run(), so mid-training checkpoints froze the initial state)
-    restored_mu = float(np.asarray(infr.params[q.mu.factor.mean]))
+    restored_mu = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert np.isclose(restored_mu, at_ckpt["mu"], rtol=1e-6)
     assert abs(restored_mu) > 1e-3  # moved away from the zero init
     infr.run(max_iter=200, learning_rate=0.1, y=y,
              callback=lambda i, l: losses.append(float(l)))
     assert losses[-1] < crash_loss
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.4

@@ -39,7 +39,7 @@ def test_device_loop_svi_converges():
     losses = []
     infr.run(max_iter=40, learning_rate=0.1, y=y,
              callback=lambda e, l: losses.append(l))
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.5
     assert losses[-1] < losses[0]
 
@@ -56,7 +56,7 @@ def test_device_loop_uneven_batches_rollover():
                                rv_scaling={m.y: (N + 7) / B})
     infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
     infr.run(max_iter=30, learning_rate=0.1, y=y)
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.6
 
 
@@ -135,7 +135,7 @@ def test_device_loop_with_sharded_resident_dataset():
     infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
     infr.run(max_iter=30, learning_rate=0.1, y=y,
              data_sharding=[batch_sharding(mesh, 2)])
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.6
 
 

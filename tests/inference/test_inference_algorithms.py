@@ -56,9 +56,9 @@ def test_meanfield_svi_batch():
     infr.run(max_iter=300, learning_rate=0.1, y=y,
              callback=lambda i, l: losses.append(float(l)))
     assert losses[-1] < losses[0]
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.3
-    s_post = float(np.asarray(infr.params[m.s]))
+    s_post = np.asarray(infr.params[m.s]).item()
     assert abs(s_post - y.var()) < 1.0
 
 
@@ -71,7 +71,7 @@ def test_meanfield_svi_minibatch():
     loop = MinibatchInferenceLoop(batch_size=40, rv_scaling={m.y: N / 40.})
     infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
     infr.run(max_iter=60, learning_rate=0.1, y=y)
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.5
 
 
@@ -81,8 +81,8 @@ def test_map():
     alg = MAP(model=m, observed=[m.y])
     infr = GradBasedInference(inference_algorithm=alg)
     infr.run(max_iter=400, learning_rate=0.1, y=y)
-    mu_map = float(np.asarray(
-        infr.params[alg.posterior.mu.factor.location]))
+    mu_map = np.asarray(
+        infr.params[alg.posterior.mu.factor.location]).item()
     assert abs(mu_map - y.mean()) < 0.1
 
 
@@ -95,7 +95,7 @@ def test_score_function(alg_cls):
     alg = alg_cls(num_samples=40, model=m, posterior=q, observed=[m.y])
     infr = GradBasedInference(inference_algorithm=alg)
     infr.run(max_iter=500, learning_rate=0.05, y=y)
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.6
 
 
@@ -143,5 +143,5 @@ def test_transfer_inference_carries_params():
     (samples,) = fwd.run()
     assert np.asarray(samples).shape == (10, N, 1)
     # the trained noise parameter carried over
-    assert np.isclose(float(np.asarray(fwd.params[m.s])),
-                      float(np.asarray(infr.params[m.s])))
+    assert np.isclose(np.asarray(fwd.params[m.s]).item(),
+                      np.asarray(infr.params[m.s]).item())

@@ -39,7 +39,7 @@ def _train(steps_per_call, max_iter=20):
         grad_loop=loop)
     infr.run(max_iter=max_iter, learning_rate=0.05, X=X, Y=Y)
     k = m.Y.factor._module_graph.kernel
-    return infr, m, float(np.asarray(infr.params[k.lengthscale]))
+    return infr, m, np.asarray(infr.params[k.lengthscale]).item()
 
 
 def test_scanned_batch_loop_matches_per_step():

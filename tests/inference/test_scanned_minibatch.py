@@ -33,7 +33,7 @@ def test_scanned_minibatch_svi_converges():
                                   batches_per_call=3)
     infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
     infr.run(max_iter=40, learning_rate=0.1, y=y)
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.5
 
 
@@ -86,5 +86,5 @@ def test_minibatch_batch_size_exceeds_dataset():
     loop = MinibatchInferenceLoop(batch_size=64, rv_scaling={m.y: 1.0})
     infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
     infr.run(max_iter=30, learning_rate=0.1, y=y)
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.6

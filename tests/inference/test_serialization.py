@@ -45,11 +45,11 @@ def test_meanfield_save_load_roundtrip(tmp_path):
     infr2 = GradBasedInference(inference_algorithm=alg2)
     infr2.initialize(y=y)
     infr2.load(path)
-    v1 = float(np.asarray(infr1.params[q1.mu.factor.mean]))
-    v2 = float(np.asarray(infr2.params[q2.mu.factor.mean]))
+    v1 = np.asarray(infr1.params[q1.mu.factor.mean]).item()
+    v2 = np.asarray(infr2.params[q2.mu.factor.mean]).item()
     assert np.isclose(v1, v2)
-    s1 = float(np.asarray(infr1.params[m1.s]))
-    s2 = float(np.asarray(infr2.params[m2.s]))
+    s1 = np.asarray(infr1.params[m1.s]).item()
+    s2 = np.asarray(infr2.params[m2.s]).item()
     assert np.isclose(s1, s2)
     # the loaded inference can continue training
     infr2.run(max_iter=10, learning_rate=0.05, y=y)
@@ -208,8 +208,8 @@ def test_bnn_flax_function_save_load_roundtrip(tmp_path):
         np.testing.assert_allclose(mu1, mu2, rtol=1e-6)
         n_checked += 1
     assert n_checked == 4  # 2 layers x (kernel, bias)
-    s1 = float(np.asarray(infr1.params[m1.noise]))
-    s2 = float(np.asarray(infr2.params[m2.noise]))
+    s1 = np.asarray(infr1.params[m1.noise]).item()
+    s2 = np.asarray(infr2.params[m2.noise]).item()
     assert np.isclose(s1, s2)
 
     # resumed training continues from the loaded state: the first

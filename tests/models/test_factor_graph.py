@@ -138,7 +138,7 @@ def test_remove_subgraph_and_replace():
     assert m.mu.factor.__class__.__name__ == "Normal"
     # new prior's mean constant is 5
     mean_const = dict(m.mu.factor.inputs)["mean"]
-    assert float(np.asarray(mean_const.constant)) == 5.0
+    assert np.asarray(mean_const.constant).item() == 5.0
 
 
 def test_get_parameters_and_constants():

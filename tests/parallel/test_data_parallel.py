@@ -68,7 +68,7 @@ def test_data_parallel_batch_loop_converges():
     infr = GradBasedInference(inference_algorithm=alg,
                               grad_loop=DataParallelBatchLoop(mesh))
     infr.run(max_iter=200, learning_rate=0.1, y=y)
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.4
 
 
@@ -221,7 +221,7 @@ def test_shard_map_exact_gp_trains_with_cache():
         infr.params.update_params(fx)
         infr.params.fixed.update(aux.keys())
         k = m.Y.factor._module_graph.kernel
-        ls = float(np.asarray(infr.params[k.lengthscale]))
+        ls = np.asarray(infr.params[k.lengthscale]).item()
         # prediction from the cache written back by the LAST step
         Xt = np.linspace(0, 4, 12)[:, None]
         p = TransferInference(ModulePredictionAlgorithm(
@@ -343,5 +343,5 @@ def test_data_parallel_minibatch_scanned_shards_batches():
                                      batches_per_call=2)
     infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
     infr.run(max_iter=30, learning_rate=0.1, y=y)
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.6

@@ -33,5 +33,5 @@ def test_dp_minibatch_loop_converges():
                                      rv_scaling={m.y: N / B})
     infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
     infr.run(max_iter=40, learning_rate=0.1, y=y)
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.5
