@@ -58,8 +58,37 @@ class FlaxFunction(Function):
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
         examples = [jnp.zeros(s, dtype=dtype) for s in input_shapes]
-        variables = module.init(rng_key, *examples)
-        params_tree = variables.get("params", variables)
+        variables = dict(module.init(rng_key, *examples))
+        params_tree = variables.pop("params", {})
+        # non-"params" collections (batch_stats, constants, ...) ride
+        # along READ-ONLY: they are baked into the function at their
+        # initialized values, not lifted into graph Variables. Modules
+        # that MUTATE a collection in apply (e.g. BatchNorm in training
+        # mode) are rejected up front with a clear error — thread such
+        # state explicitly outside the model function instead. The
+        # reference's Gluon wrapper has no analogue (Gluon blocks carry
+        # no auxiliary collections; mxfusion_gluon_function.py:150-194).
+        self._extra_collections = variables
+        if self._extra_collections:
+            # validate (abstractly, no FLOPs) that apply works with the
+            # collections held immutable; module.init already proved the
+            # module applies cleanly, so a failure here is a mutation
+            try:
+                jax.eval_shape(module.apply,
+                               {"params": params_tree,
+                                **self._extra_collections}, *examples)
+            except Exception as e:
+                from ...common.exceptions import ModelSpecificationError
+                raise ModelSpecificationError(
+                    "FlaxFunction('{}') cannot wrap this module: "
+                    "applying it with immutable collections {} failed "
+                    "({}). Modules that mutate a variable collection "
+                    "during apply (e.g. BatchNorm with "
+                    "use_running_average=False) are not supported "
+                    "inside the model graph — configure the module for "
+                    "inference mode or manage that state outside the "
+                    "model.".format(name, sorted(self._extra_collections),
+                                    e)) from e
         leaves_with_paths = jax.tree_util.tree_flatten_with_path(params_tree)[0]
         self._treedef = jax.tree_util.tree_structure(params_tree)
         parameters = {}
@@ -83,5 +112,15 @@ class FlaxFunction(Function):
         leaves = [params[n] for n in self._param_order]
         tree = jax.tree_util.tree_unflatten(self._treedef, leaves)
         args = [data[n] for n in self.input_names]
-        return self.module.apply({"params": tree}, *args)
+        out = self.module.apply({"params": tree,
+                                 **self._extra_collections}, *args)
+        n_out = len(out) if isinstance(out, (list, tuple)) else 1
+        if n_out != len(self.output_names):
+            from ...common.exceptions import ModelSpecificationError
+            raise ModelSpecificationError(
+                "FlaxFunction('{}') returned {} output(s) but was "
+                "declared with num_outputs={} — outputs would be "
+                "silently dropped/missing.".format(
+                    self.name, n_out, len(self.output_names)))
+        return out
 

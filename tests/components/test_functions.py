@@ -8,6 +8,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+import pytest
 
 from mxfusion_tpu import Model, Variable
 from mxfusion_tpu.components.variables import PositiveTransformation
@@ -118,3 +119,111 @@ def test_bnn_svi_smoke():
     infr.run(max_iter=100, learning_rate=0.05, x=X, y=Y,
              callback=lambda i, l: losses.append(float(l)))
     assert losses[-1] < losses[0]
+
+
+# ----------------------------------------------------------------------
+# FlaxFunction hardening: multi-output, weight sharing, collections
+# (parity with the Gluon wrapper's feature set, reference
+# mxfusion_gluon_function.py:113-148)
+# ----------------------------------------------------------------------
+class TwoHeadNet(nn.Module):
+    hidden: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        h = jnp.tanh(nn.Dense(self.hidden)(x))
+        return nn.Dense(1)(h), nn.Dense(2)(h)
+
+
+def test_flax_function_multi_output():
+    net = FlaxFunction(TwoHeadNet(), name="g", input_shapes=[(5, 3)],
+                       num_outputs=2, rng_key=jax.random.PRNGKey(1))
+    m = Model()
+    m.x = Variable(shape=(5, 3))
+    m.a, m.b = net(m.x)
+    env = {m.x.uuid: jnp.ones((1, 5, 3))}
+    for _, v in net.parameters.items():
+        env[v.uuid] = jnp.asarray(v.initial_value)[None]
+    samples = m.draw_samples(env, jax.random.PRNGKey(0))
+    assert np.asarray(samples[m.a.uuid]).shape == (1, 5, 1)
+    assert np.asarray(samples[m.b.uuid]).shape == (1, 5, 2)
+    # both heads match a direct flax apply
+    variables = net.module.init(jax.random.PRNGKey(1), jnp.zeros((5, 3)))
+    da, db = net.module.apply(variables, jnp.ones((5, 3)))
+    assert np.allclose(np.asarray(samples[m.a.uuid])[0], np.asarray(da))
+    assert np.allclose(np.asarray(samples[m.b.uuid])[0], np.asarray(db))
+
+
+def test_flax_function_output_arity_mismatch_errors():
+    from mxfusion_tpu.common.exceptions import ModelSpecificationError
+    net = FlaxFunction(TwoHeadNet(), name="g", input_shapes=[(5, 3)],
+                       num_outputs=1, rng_key=jax.random.PRNGKey(1))
+    m = Model()
+    m.x = Variable(shape=(5, 3))
+    m.a = net(m.x)
+    env = {m.x.uuid: jnp.ones((1, 5, 3))}
+    for _, v in net.parameters.items():
+        env[v.uuid] = jnp.asarray(v.initial_value)[None]
+    with pytest.raises(ModelSpecificationError, match="num_outputs"):
+        m.draw_samples(env, jax.random.PRNGKey(0))
+
+
+def test_flax_function_weight_sharing_two_applications():
+    """One FlaxFunction applied to two inputs ties the weights (the
+    reference supports re-applying a Gluon function the same way)."""
+    net = FlaxFunction(TinyNet(hidden=3), name="f", input_shapes=[(4, 2)],
+                       rng_key=jax.random.PRNGKey(2))
+    m = Model()
+    m.x1 = Variable(shape=(4, 2))
+    m.x2 = Variable(shape=(4, 2))
+    m.y1 = net(m.x1)
+    m.y2 = net(m.x2)
+    # the two factors share the SAME parameter Variables (same UUIDs)
+    p1 = {v.uuid for _, v in m.y1.factor.inputs
+          if v.uuid in {pv.uuid for pv in net.parameters.values()}}
+    p2 = {v.uuid for _, v in m.y2.factor.inputs
+          if v.uuid in {pv.uuid for pv in net.parameters.values()}}
+    assert p1 == p2 and len(p1) == len(net.parameters)
+    # same input -> identical outputs through the tied weights
+    x = jnp.asarray(np.random.default_rng(0).random((1, 4, 2)))
+    env = {m.x1.uuid: x, m.x2.uuid: x}
+    for _, v in net.parameters.items():
+        env[v.uuid] = jnp.asarray(v.initial_value)[None]
+    samples = m.draw_samples(env, jax.random.PRNGKey(0))
+    assert np.allclose(np.asarray(samples[m.y1.uuid]),
+                       np.asarray(samples[m.y2.uuid]))
+
+
+class BNNet(nn.Module):
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(3)(x)
+        return nn.BatchNorm(use_running_average=not self.train)(x)
+
+
+def test_flax_function_reads_non_params_collections():
+    """batch_stats (inference mode) ride along read-only."""
+    net = FlaxFunction(BNNet(train=False), name="bn",
+                       input_shapes=[(6, 2)],
+                       rng_key=jax.random.PRNGKey(3))
+    assert "batch_stats" in net._extra_collections
+    # batch_stats leaves are NOT lifted into graph Variables
+    assert all("batch_stats" not in n for n in net.parameters)
+    m = Model()
+    m.x = Variable(shape=(6, 2))
+    m.y = net(m.x)
+    env = {m.x.uuid: jnp.ones((1, 6, 2))}
+    for _, v in net.parameters.items():
+        env[v.uuid] = jnp.asarray(v.initial_value)[None]
+    samples = m.draw_samples(env, jax.random.PRNGKey(0))
+    assert np.asarray(samples[m.y.uuid]).shape == (1, 6, 3)
+
+
+def test_flax_function_mutating_collection_rejected():
+    from mxfusion_tpu.common.exceptions import ModelSpecificationError
+    with pytest.raises(ModelSpecificationError, match="mutate"):
+        FlaxFunction(BNNet(train=True), name="bn",
+                     input_shapes=[(6, 2)],
+                     rng_key=jax.random.PRNGKey(3))
