@@ -32,17 +32,29 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
     Subclasses :class:`MinibatchInferenceLoop` so the driver binds
     symbolic shapes to the batch size the same way; only the data path
     differs. ``data_sharding``, when given, keeps the RESIDENT dataset
-    sharded over the mesh data axis; note that the gather uses a GLOBAL
-    random permutation, so GSPMD must move rows across devices to
-    assemble each batch (collectives over ICI) — correct, and it keeps
-    per-device HBM at 1/n of the dataset, but batch assembly is not
-    shard-local.
+    sharded over the mesh data axis. By default the gather uses a
+    GLOBAL random permutation, so GSPMD must move rows across devices
+    to assemble each batch (collectives over ICI) — correct, and it
+    keeps per-device HBM at 1/n of the dataset, but batch assembly is
+    not shard-local. ``shard_local_shuffle=True`` switches to
+    per-device permutations over each device's own rows (stratified
+    without-replacement sampling): batch assembly becomes a purely
+    local gather with zero cross-device row movement.
     """
 
     def __init__(self, batch_size=100, rv_scaling=None,
-                 metrics_callback=None):
+                 metrics_callback=None, shard_local_shuffle=False):
         super().__init__(batch_size=batch_size, rv_scaling=rv_scaling,
                          metrics_callback=metrics_callback)
+        # shard_local_shuffle=True (requires data_sharding): each device
+        # permutes only ITS OWN rows per epoch and every batch is the
+        # union of per-shard draws — batch assembly is a purely local
+        # gather, no cross-device row movement. Statistically this is
+        # stratified (without-replacement per shard) minibatching: the
+        # same unbiased data-sum estimator, with each point still seen
+        # exactly once per epoch. Requires N and B divisible by the
+        # mesh's data-axis size.
+        self.shard_local_shuffle = shard_local_shuffle
 
     def run(self, executor, params, data, optimizer="adam",
             learning_rate=1e-3, max_iter=1000, key=None, verbose=False,
@@ -67,6 +79,70 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
         n_batches = max(1, -(-N // B))
         pad = n_batches * B - N
 
+        shard_local = bool(self.shard_local_shuffle)
+        if shard_local:
+            if data_sharding is None:
+                raise ValueError(
+                    "shard_local_shuffle=True requires data_sharding "
+                    "(the resident dataset must live sharded on a mesh).")
+            from jax.sharding import NamedSharding, PartitionSpec
+            sharding0 = data_sharding[0]
+            axis = sharding0.spec[0]
+            smesh = sharding0.mesh
+            n_sh = smesh.shape[axis]
+            if N % n_sh or B % n_sh:
+                raise ValueError(
+                    "shard_local_shuffle needs N ({}) and batch size "
+                    "({}) divisible by the data-axis size ({})."
+                    .format(N, B, n_sh))
+            Nl, Bl = N // n_sh, B // n_sh
+            n_batches = max(1, -(-Nl // Bl))
+            pad_l = n_batches * Bl - Nl
+
+            def _resharded(d):
+                # (N, ...) -> (n_sh, Nl, ...) with the shard axis
+                # leading: the reshape is layout-local on the mesh
+                return jax.lax.with_sharding_constraint(
+                    d.reshape((n_sh, Nl) + d.shape[1:]),
+                    NamedSharding(smesh,
+                                  PartitionSpec(axis, *([None] * d.ndim))))
+
+            def make_batch_indices(pkey):
+                pkeys = jax.random.split(pkey, n_sh)
+                perms = jax.vmap(
+                    lambda k: jax.random.permutation(k, Nl))(pkeys)
+                if pad_l:
+                    perms = jnp.concatenate([perms, perms[:, :pad_l]],
+                                            axis=1)
+                # (n_batches, n_sh, Bl)
+                return perms.reshape(
+                    (n_sh, n_batches, Bl)).transpose(1, 0, 2)
+
+            def gather_batch(data_parked, bidx):
+                batch = []
+                for dr in data_parked:
+                    b = jax.vmap(
+                        lambda dd, ii: jnp.take(dd, ii, axis=0))(dr, bidx)
+                    b = b.reshape((B,) + dr.shape[2:])
+                    batch.append(jax.lax.with_sharding_constraint(
+                        b, NamedSharding(
+                            smesh,
+                            PartitionSpec(axis, *([None] * (b.ndim - 1))))))
+                return batch
+
+            parked = [_resharded(d) for d in data]
+        else:
+            def make_batch_indices(pkey):
+                perm = jax.random.permutation(pkey, N)
+                if pad:
+                    perm = jnp.concatenate([perm, perm[:pad]])
+                return perm.reshape((n_batches, B))
+
+            def gather_batch(data_parked, bidx):
+                return [jnp.take(d, bidx, axis=0) for d in data_parked]
+
+            parked = data
+
         def one_step(trainable, fixed, opt_state, key, batch):
             def loss_fn(tr):
                 loss, loss_for_grad, aux = executor(tr, fixed, batch, key)
@@ -88,15 +164,12 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
         @jax.jit
         def epoch(trainable, fixed, opt_state, key, data, aux0):
             pkey, skey = jax.random.split(key)
-            perm = jax.random.permutation(pkey, N)
-            if pad:
-                perm = jnp.concatenate([perm, perm[:pad]])
-            idx = perm.reshape((n_batches, B))
+            idx = make_batch_indices(pkey)
 
             def body(carry, xs):
                 tr, st, fx_aux = carry
                 subkey, bidx = xs
-                batch = [jnp.take(d, bidx, axis=0) for d in data]
+                batch = gather_batch(data, bidx)
                 fx = {**fixed, **fx_aux} if has_aux else fixed
                 tr, st, loss, aux, gnorm = one_step(tr, fx, st, subkey,
                                                     batch)
@@ -114,7 +187,7 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
             aux0 = {u: jnp.asarray(fixed.get(u, z), dtype=z.dtype)
                     for u, z in aux_zeros.items()}
             trainable, opt_state, aux, epoch_loss, last_loss, gnorm = \
-                epoch(trainable, fixed, opt_state, subkey, data, aux0)
+                epoch(trainable, fixed, opt_state, subkey, parked, aux0)
             if has_aux:
                 fixed = {**fixed, **aux}
             if verbose:

@@ -97,8 +97,9 @@ def make_shard_map_step(executor, mesh, optimizer, learning_rate,
     ``gather_data=False`` per-shard caches are functions of different
     data shards and no element-wise reduction of them is meaningful
     (the mean of Cholesky factors is not a Cholesky factor), so aux is
-    returned EMPTY — cached-prediction workflows need ``gather_data``
-    or the GSPMD loops.
+    returned EMPTY during training — finish with ONE
+    :func:`make_cache_refresh_step` call (a single all-gather forward
+    pass) to leave the modules predict-ready.
     """
     opt = make_optimizer(optimizer, learning_rate)
     try:
@@ -154,3 +155,53 @@ def make_shard_map_step(executor, mesh, optimizer, learning_rate,
         return fn(trainable, fixed, opt_state, key, *data)
 
     return jax.jit(step), opt
+
+
+def make_cache_refresh_step(executor, mesh, axis_name=DATA_AXIS):
+    """One forward pass over the FULL (all-gathered) data to populate
+    module caches (SET_ writebacks) after sharded training.
+
+    ``make_shard_map_step(gather_data=False)`` trains with per-shard
+    data and cannot return meaningful module caches (see its
+    docstring). This step leaves the modules predict-ready: each shard
+    ``all_gather``s the data once over ICI, runs the executor forward
+    (no gradient, no update), and the identical per-shard caches come
+    back replicated — write them into the inference parameters and
+    cached prediction works without retraining::
+
+        step = make_cache_refresh_step(executor, mesh)
+        loss, aux = step(trainable, fixed, key, data)   # data sharded
+        infr.params.update_params({**aux})
+        infr.params.fixed.update(aux.keys())
+
+    Note on the returned loss: if the training executor folded the
+    mesh-size factor into ``rv_scaling`` (the gather_data=False
+    recipe), its value over the full data is scaled accordingly — use
+    it as a diagnostic only, or pass an unscaled executor.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    import inspect
+    kw = ("check_vma" if "check_vma" in
+          inspect.signature(shard_map).parameters else "check_rep")
+
+    def step(trainable, fixed, key, data):
+        def shard_fn(tr, fx, key, *data_shards):
+            full = [jax.lax.all_gather(d, axis_name, axis=0, tiled=True)
+                    for d in data_shards]
+            loss, _, aux = executor(tr, fx, list(full), key)
+            return loss, aux
+
+        in_specs = (
+            jax.tree_util.tree_map(lambda _: P(), trainable),
+            jax.tree_util.tree_map(lambda _: P(), fixed),
+            P(),
+        ) + tuple(P(axis_name) for _ in data)
+        out_specs = (P(), P())
+        fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, **{kw: False})
+        return fn(trainable, fixed, key, *data)
+
+    return jax.jit(step)

@@ -176,3 +176,82 @@ def test_device_loop_carries_module_caches():
         infr_params=infr.params)
     mu, var = p.run(X=X[:10])[0]
     assert np.all(np.isfinite(np.asarray(mu)))
+
+
+def test_device_loop_shard_local_shuffle_converges():
+    """shard_local_shuffle=True: per-device permutations, no
+    cross-device row movement; same unbiased estimator, so convergence
+    matches the global-shuffle mode."""
+    from mxfusion_tpu.parallel import make_mesh, batch_sharding
+    rng = np.random.default_rng(8)
+    y = rng.standard_normal((N, 1)) + 2.5
+    m = _meanfield_model()
+    q = create_Gaussian_meanfield(model=m, observed=[m.y])
+    alg = StochasticVariationalInference(num_samples=6, model=m,
+                                         posterior=q, observed=[m.y])
+    mesh = make_mesh(8)
+    loop = DeviceMinibatchLoop(batch_size=B, rv_scaling={m.y: N / B},
+                               shard_local_shuffle=True)
+    infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
+    infr.run(max_iter=30, learning_rate=0.1, y=y,
+             data_sharding=[batch_sharding(mesh, 2)])
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
+    assert abs(mu_post - y.mean()) < 0.6
+
+
+def test_device_loop_shard_local_full_batch_matches_global():
+    """With B=N each epoch's single batch is the whole (permuted)
+    dataset, and the data-sum objective is permutation-invariant — the
+    shard-local and global-shuffle trajectories must agree to float
+    tolerance (proves shard-local assembly loses no rows and changes
+    no math)."""
+    import jax
+    from mxfusion_tpu.parallel import make_mesh, batch_sharding
+    rng = np.random.default_rng(9)
+    y = rng.standard_normal((N, 1)) + 1.0
+    mesh = make_mesh(8)
+
+    def run(shard_local):
+        m = _meanfield_model()
+        q = create_Gaussian_meanfield(model=m, observed=[m.y])
+        alg = StochasticVariationalInference(num_samples=6, model=m,
+                                             posterior=q,
+                                             observed=[m.y])
+        loop = DeviceMinibatchLoop(batch_size=N,
+                                   rv_scaling={m.y: 1.0},
+                                   shard_local_shuffle=shard_local)
+        infr = GradBasedInference(inference_algorithm=alg,
+                                  grad_loop=loop)
+        losses = []
+        infr.run(max_iter=8, learning_rate=0.1, y=y,
+                 key=jax.random.PRNGKey(4),
+                 data_sharding=[batch_sharding(mesh, 2)],
+                 callback=lambda e, l: losses.append(float(l)))
+        return np.asarray(losses)
+
+    np.testing.assert_allclose(run(True), run(False),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_device_loop_shard_local_requires_divisibility():
+    import pytest
+    from mxfusion_tpu.parallel import make_mesh, batch_sharding
+    rng = np.random.default_rng(10)
+    y = rng.standard_normal((N, 1))
+    m = _meanfield_model()
+    q = create_Gaussian_meanfield(model=m, observed=[m.y])
+    alg = StochasticVariationalInference(num_samples=4, model=m,
+                                         posterior=q, observed=[m.y])
+    mesh = make_mesh(8)
+    loop = DeviceMinibatchLoop(batch_size=B + 4,  # 44 % 8 != 0
+                               rv_scaling={m.y: N / (B + 4)},
+                               shard_local_shuffle=True)
+    infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
+    with pytest.raises(ValueError, match="divisible"):
+        infr.run(max_iter=1, learning_rate=0.1, y=y,
+                 data_sharding=[batch_sharding(mesh, 2)])
+    loop2 = DeviceMinibatchLoop(batch_size=B, rv_scaling={m.y: N / B},
+                                shard_local_shuffle=True)
+    infr2 = GradBasedInference(inference_algorithm=alg, grad_loop=loop2)
+    with pytest.raises(ValueError, match="data_sharding"):
+        infr2.run(max_iter=1, learning_rate=0.1, y=y)

@@ -18,7 +18,8 @@ from mxfusion_tpu.inference import (
     GradBasedInference, StochasticVariationalInference,
     create_Gaussian_meanfield, MAP, create_executor)
 from mxfusion_tpu.parallel import (
-    make_mesh, shard_data, DataParallelBatchLoop, make_shard_map_step)
+    make_mesh, shard_data, DataParallelBatchLoop, make_shard_map_step,
+    make_cache_refresh_step)
 
 N = 160
 
@@ -235,6 +236,69 @@ def test_shard_map_exact_gp_trains_with_cache():
     assert np.isclose(ls_s, ls_1, rtol=1e-5), (ls_s, ls_1)
     assert np.isclose(loss_s, loss_1, rtol=1e-5)
     np.testing.assert_allclose(mu_s, mu_1, rtol=1e-5, atol=1e-6)
+
+
+def test_cache_refresh_after_ungathered_shard_map_training():
+    """gather_data=False training returns no module caches (per-shard
+    Cholesky factors are not reducible); ONE make_cache_refresh_step
+    call afterwards all-gathers the data, recomputes the exact full-data
+    cache replicated, and leaves GPRegression predict-ready — the
+    cached-path prediction must equal the closed form at the learned
+    hyperparameters (VERDICT r2 item 3)."""
+    from mxfusion_tpu.inference import (ModulePredictionAlgorithm,
+                                        TransferInference)
+    rng = np.random.default_rng(7)
+    X = rng.random((N, 1)) * 4
+    Y = np.sin(X) + rng.standard_normal((N, 1)) * 0.1
+
+    m = _build_exact_gp()
+    alg = MAP(model=m, observed=[m.X, m.Y])
+    infr = GradBasedInference(inference_algorithm=alg)
+    infr.initialize(X=X, Y=Y)
+    ex = create_executor(alg, infr.params)
+    tr = dict(infr.params.trainable_params())
+    fx = dict(infr.params.fixed_params())
+    mesh = make_mesh(8)
+    step, opt = make_shard_map_step(ex, mesh, "adam", 0.05,
+                                    gather_data=False)
+    opt_state = opt.init(tr)
+    data = shard_data(mesh, [X, Y])
+    key = jax.random.PRNGKey(0)
+    aux = {}
+    for _ in range(15):
+        key, sk = jax.random.split(key)
+        tr, opt_state, loss, aux = step(tr, fx, opt_state, sk, data)
+    assert not aux, "gather_data=False must not return caches"
+
+    # one all-gather forward pass -> exact full-data caches
+    refresh = make_cache_refresh_step(ex, mesh)
+    key, sk = jax.random.split(key)
+    _, aux = refresh(tr, fx, sk, data)
+    assert aux, "refresh step must return the module caches"
+    infr.params.update_params(tr)
+    infr.params.update_params(dict(aux))
+    infr.params.fixed.update(aux.keys())
+
+    # cached-path prediction equals the closed form at the LEARNED
+    # hyperparameters (proves the cache is the exact full-data cache)
+    k = m.Y.factor._module_graph.kernel
+    ls = np.asarray(infr.params[k.lengthscale]).item()
+    var = np.asarray(infr.params[k.variance]).item()
+    noise = np.asarray(infr.params[m.noise_var]).item()
+    Xt = np.linspace(0, 4, 9)[:, None]
+    p = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+        infr_params=infr.params)
+    mu, _ = p.run(X=Xt)[0]
+
+    def np_rbf(A, B):
+        r2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(-1) / ls ** 2
+        return var * np.exp(-0.5 * r2)
+
+    K = np_rbf(X, X) + noise * np.eye(N)
+    mu_exp = np_rbf(Xt, X) @ np.linalg.solve(K, Y)
+    np.testing.assert_allclose(np.asarray(mu)[0], mu_exp,
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_2d_mesh_svgp_data_and_model_sharded():
