@@ -1,20 +1,33 @@
 """Benchmark: SVGP regression minibatch SVI throughput (BASELINE.json
 config "SVGPRegression: 100k points, minibatch SVI").
 
-Measures jitted optimizer steps/sec of the full SVGP ELBO + adam update
-(batch 1024, 128 inducing points, D=8, float32) on the available
-accelerator. The Kuu/Kuf kernel matrices are assembled by the
-XLA-fused jnp path (the Pallas variant defaults OFF: measured ~5%
-slower because custom_vjp blocks consumer fusion — benchmarks/NOTES.md).
+Emits ONE JSON line with two tiers:
+
+1. Legacy latency tier (``metric/value/unit/vs_baseline``): jitted
+   optimizer steps/sec of the full SVGP ELBO + adam update at
+   (B=1024, M=128, D=8, float32) — small by design, dominated by
+   dispatch latency; kept byte-compatible for round-over-round
+   comparison (r1: 4830.91, r2: 6529.06).
+2. Compute-bound tier (``compute_bound``): ms/step, TFLOP/s and
+   %-of-ceiling at the production shape (B=65536, M=512, D=32),
+   paired with a matmul-ceiling measurement taken in the SAME process
+   (benchmarks/roofline.py machinery) — the number the BASELINE.json
+   north star (">=70% of roofline") is actually about.
+
+The Kuu/Kuf kernel matrices are assembled by the XLA-fused jnp path
+(the Pallas variant defaults OFF: measured ~5% slower because
+custom_vjp blocks consumer fusion — benchmarks/NOTES.md).
 
 The reference (amzn/MXFusion) publishes no benchmark numbers
 (BASELINE.md). ``vs_baseline`` divides by a MEASURED baseline: this
-exact script run on the JAX CPU backend of this machine
-(124.55 steps/s, measured 2026-08-16, same scan-amortized protocol) —
-a stand-in for the reference's single-host CPU execution model, and
-stable across rounds for comparability.
+exact script's legacy tier run on the JAX CPU backend of this machine.
+Denominator history (NEVER silently change; add a line):
+  124.55 steps/s  measured 2026-08-16 (r2, 500-steps-per-program
+                  protocol) — current denominator
+  25.0   steps/s  r1 protocol (50 steps/program); retired in r2
 """
 import json
+import os
 import sys
 import time
 
@@ -117,12 +130,35 @@ def main():
     steps_per_sec = STEPS / elapsed
     print("device: {}, final loss: {:.2f}".format(
         jax.devices()[0], float(loss)), file=sys.stderr)
+
+    # ---- compute-bound tier: production shape vs in-process ceiling
+    compute_bound = None
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        import roofline
+        ceiling = roofline.measure_matmul_ceiling(4096, "float32",
+                                                  "HIGHEST", iters=32)
+        sec, tflops = roofline.run_svgp_config(
+            65536, 512, 32, steps=50, ceiling_tflops=ceiling)
+        compute_bound = {
+            "config": "svgp_step_b65536_m512_d32_f32",
+            "ms_per_step": round(sec * 1e3, 3),
+            "tflops": round(tflops, 2),
+            "ceiling_tflops_f32_highest": round(ceiling, 2),
+            "pct_of_ceiling": round(100.0 * tflops / ceiling, 1),
+        }
+    except Exception as e:  # never lose the legacy metric
+        print("compute-bound tier failed: {!r}".format(e),
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "svgp_svi_steps_per_sec_b1024_m128",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec /
                              CPU_BASELINE_STEPS_PER_SEC, 2),
+        "compute_bound": compute_bound,
     }))
 
 

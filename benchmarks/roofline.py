@@ -197,7 +197,7 @@ def run_svgp_config(B, M, D, steps=100, n_total=1_000_000,
     print("SVGP B={:6d} M={:4d} D={:3d}: {:8.3f} ms/step, {:7.1f} "
           "steps/s, {:6.2f} TFLOP/s{}".format(
               B, M, D, sec * 1e3, 1.0 / sec, tflops, frac), flush=True)
-    return tflops
+    return sec, tflops
 
 
 def main():
