@@ -136,11 +136,14 @@ def main():
     try:
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        import contextlib
         import roofline
-        ceiling = roofline.measure_matmul_ceiling(4096, "float32",
-                                                  "HIGHEST", iters=32)
-        sec, tflops = roofline.run_svgp_config(
-            65536, 512, 32, steps=50, ceiling_tflops=ceiling)
+        with contextlib.redirect_stdout(sys.stderr):
+            # keep stdout = exactly one JSON line for the driver
+            ceiling = roofline.measure_matmul_ceiling(
+                4096, "float32", "HIGHEST", iters=32)
+            sec, tflops = roofline.run_svgp_config(
+                65536, 512, 32, steps=50, ceiling_tflops=ceiling)
         compute_bound = {
             "config": "svgp_step_b65536_m512_d32_f32",
             "ms_per_step": round(sec * 1e3, 3),

@@ -25,9 +25,17 @@ def make_mesh(n_devices=None, axis_name=DATA_AXIS, devices=None):
 
 def make_mesh_2d(data_size, model_size, data_axis=DATA_AXIS,
                  model_axis="model", devices=None):
-    """2-D (data × model) mesh for combined data/model sharding, e.g.
-    sharding the inducing-point axis of very large SVGP models along
-    ``model`` while batching along ``data``."""
+    """2-D (data × model) mesh for combined data/model sharding.
+
+    Guidance (measured, benchmarks/model_axis_2d.py + NOTES.md r3):
+    sharding the M-inducing axis of q(U)/Z over ``model`` is a
+    MEMORY-CAPACITY lever, not a speed lever — it divides the M² q(U)
+    parameters + optimizer state across devices (48.4 -> 12.1 MB per
+    device at M=2048 on a x4 model axis) but adds ~100 collectives per
+    step and no compute-rate benefit (Kuu's Cholesky is gathered
+    regardless). Replicate q(U) (``model_size=1``) unless its
+    parameters + adam state approach per-device HBM (M ≳ 16k at f32).
+    """
     if devices is None:
         devices = jax.devices()
     need = data_size * model_size
