@@ -19,6 +19,7 @@ import jax.scipy.linalg as jsl
 from .distribution import Distribution, UnivariateDistribution
 from ..variables.variable import Variable
 from ...ops.precision import einsum as p_einsum
+from ...ops.pallas_batched_cholesky import cholesky as _cholesky
 
 
 LOG2PI = float(np.log(2.0 * np.pi))
@@ -65,7 +66,7 @@ class MultivariateNormal(Distribution):
 
     def log_pdf_impl(self, random_variable, mean, covariance):
         D = random_variable.shape[-1]
-        L = jnp.linalg.cholesky(covariance)
+        L = _cholesky(covariance)
         diff = random_variable - mean
         alpha = jsl.solve_triangular(L, diff[..., None], lower=True)[..., 0]
         logdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
@@ -74,7 +75,7 @@ class MultivariateNormal(Distribution):
                 - 0.5 * jnp.sum(alpha ** 2, axis=-1))
 
     def draw_samples_impl(self, rv_shape, num_samples, key, mean, covariance):
-        L = jnp.linalg.cholesky(covariance)
+        L = _cholesky(covariance)
         eps = self._rand_gen.sample_normal(
             key, shape=(num_samples,) + rv_shape, dtype=self.dtype)
         return mean + p_einsum("...ij,...j->...i", L, eps)
@@ -138,7 +139,7 @@ class MultivariateNormalMeanPrecision(Distribution):
 
     def log_pdf_impl(self, random_variable, mean, precision):
         D = random_variable.shape[-1]
-        L = jnp.linalg.cholesky(precision)
+        L = _cholesky(precision)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
                                axis=-1)
         diff = random_variable - mean
@@ -146,7 +147,7 @@ class MultivariateNormalMeanPrecision(Distribution):
         return 0.5 * (logdet - D * LOG2PI - quad)
 
     def draw_samples_impl(self, rv_shape, num_samples, key, mean, precision):
-        L = jnp.linalg.cholesky(precision)
+        L = _cholesky(precision)
         eps = self._rand_gen.sample_normal(
             key, shape=(num_samples,) + rv_shape, dtype=self.dtype)
         # x = mean + L^{-T} eps  has covariance (L L^T)^{-1} = Λ^{-1}

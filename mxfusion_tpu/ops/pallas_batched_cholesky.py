@@ -126,6 +126,22 @@ def batched_cholesky(A, batch_chunk=16):
     return jnp.linalg.cholesky(A)
 
 
+def cholesky(A, batch_chunk=16):
+    """Drop-in ``jnp.linalg.cholesky`` that takes the Pallas fast path
+    when the leading dims flatten into a qualifying batch (used by the
+    MVN family, whose runtime covariances are (samples, ..., D, D))."""
+    if A.ndim < 3:
+        return jnp.linalg.cholesky(A)
+    lead = A.shape[:-2]
+    B = 1
+    for d in lead:
+        B *= int(d)
+    if not _supported((B,) + A.shape[-2:], A.dtype):
+        return jnp.linalg.cholesky(A)
+    L = batched_cholesky(A.reshape((B,) + A.shape[-2:]), batch_chunk)
+    return L.reshape(A.shape)
+
+
 def _fwd(A, batch_chunk):
     L = batched_cholesky(A, batch_chunk)
     return L, L
