@@ -22,3 +22,4 @@ from .expectation import (
 from .prediction import ModulePredictionAlgorithm
 from .serving import BatchedPredictor
 from .pilco_alg import PILCOAlgorithm
+from .hmc import HMCAlgorithm, HMCInference, potential_scale_reduction

@@ -1,0 +1,227 @@
+"""Hamiltonian Monte Carlo over a FactorGraph's latent variables.
+
+No reference counterpart (amzn/MXFusion has no MCMC; SURVEY §2.8 lists
+its complete algorithm set). This is a TPU-native extension in the
+style the retrieved JAX PPL literature establishes (NumPyro, BlackJAX —
+PAPERS.md): the ENTIRE chain — warmup with dual-averaging step-size
+adaptation, leapfrog integration, Metropolis correction, sample
+collection — is one pure function, ``lax.scan``-ed into a single XLA
+program, with chains vectorized along the framework's standard leading
+sample axis (so the per-chain joint log-density is just the sum of
+``FactorGraph.log_pdf_terms``).
+
+Scope: latents are sampled in their native (unconstrained) space —
+Gaussian latents, BNN weights, linear-model coefficients. Constrained
+latents (Gamma/Beta-distributed) would need bijector reparameterization
+with a Jacobian correction; not implemented (raise below would be
+wrong — their priors still evaluate, the chain just mixes poorly if the
+support boundary matters; documented).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .inference import Inference
+from .inference_alg import SamplingAlgorithm
+from ..common.exceptions import InferenceError
+
+
+def _per_chain_sum(x):
+    """Sum every axis except the leading chain axis."""
+    return jnp.sum(x.reshape((x.shape[0], -1)), axis=-1)
+
+
+def potential_scale_reduction(samples):
+    """Split R-hat (Gelman et al.) for samples shaped (S, C, ...)."""
+    samples = jnp.asarray(samples)
+    S, C = samples.shape[:2]
+    half = S // 2
+    x = jnp.concatenate([samples[:half], samples[half:2 * half]], axis=1)
+    n, m = x.shape[0], x.shape[1]
+    chain_mean = jnp.mean(x, axis=0)
+    chain_var = jnp.var(x, axis=0, ddof=1)
+    W = jnp.mean(chain_var, axis=0)
+    B = n * jnp.var(chain_mean, axis=0, ddof=1)
+    var_est = (n - 1) / n * W + B / n
+    return jnp.sqrt(var_est / W)
+
+
+class HMCAlgorithm(SamplingAlgorithm):
+    """HMC posterior sampling of the model's latent RANDVARs.
+
+    Parameters
+    ----------
+    num_samples : int
+        Post-warmup draws kept per chain.
+    num_warmup : int
+        Adaptation draws (dual averaging of the step size toward
+        ``target_accept``; discarded).
+    num_chains : int
+        Chains, vectorized on the sample axis (prior-initialized).
+    num_leapfrog : int
+    step_size : float
+        Initial leapfrog step size (adapted during warmup).
+    target_accept : float
+
+    ``compute`` returns ``(samples, diagnostics)``: samples is
+    {uuid: (num_samples, num_chains, *event_shape)} over the latent
+    (or requested target) variables; diagnostics holds the per-chain
+    acceptance rate and the adapted step size.
+    """
+
+    def __init__(self, model, observed, num_samples=500, num_warmup=500,
+                 num_chains=4, step_size=0.1, num_leapfrog=16,
+                 target_accept=0.8, target_variables=None,
+                 extra_graphs=None):
+        super().__init__(model=model, observed=observed,
+                         num_samples=num_samples,
+                         target_variables=target_variables,
+                         extra_graphs=extra_graphs)
+        self.num_warmup = num_warmup
+        self.num_chains = num_chains
+        self.step_size = step_size
+        self.num_leapfrog = num_leapfrog
+        self.target_accept = target_accept
+
+    # ------------------------------------------------------------------
+    def _latent_uuids(self):
+        latents = [v.uuid for v in self.model.get_latent_variables(
+            self.observed_variable_UUIDs)]
+        if not latents:
+            raise InferenceError("HMC: the model has no latent "
+                                 "variables given the observed set.")
+        return latents
+
+    def compute(self, env, ctx):
+        C = self.num_chains
+        latent_uuids = self._latent_uuids()
+
+        # chains initialized by ancestral prior draws (C on sample axis)
+        init_env = dict(env)
+        drawn = self.model.draw_samples(init_env, ctx.next_key(),
+                                        num_samples=C)
+        q0 = {}
+        for u in latent_uuids:
+            a = drawn[u]
+            if a.shape[0] != C:
+                a = jnp.broadcast_to(a, (C,) + a.shape[1:])
+            q0[u] = a
+
+        def neg_logp(q):  # (C,) potential energy
+            e = dict(env)
+            e.update(q)
+            terms = self.model.log_pdf_terms(e, ctx=ctx)
+            tot = jnp.zeros((), dtype=list(q.values())[0].dtype)
+            for t in terms:
+                tot = tot + (t if t.shape[0] != 1 else t[0])
+            return -tot
+
+        grad_U = jax.grad(lambda q: jnp.sum(neg_logp(q)))
+
+        def kinetic(p):
+            k = jnp.zeros((C,), dtype=list(p.values())[0].dtype)
+            for v in p.values():
+                k = k + 0.5 * _per_chain_sum(v ** 2)
+            return k
+
+        def leapfrog(q, p, eps):
+            g = grad_U(q)
+            p = {u: p[u] - 0.5 * eps * g[u] for u in p}
+
+            def body(i, qp):
+                q, p = qp
+                q = {u: q[u] + eps * p[u] for u in q}
+                g = grad_U(q)
+                # full momentum step except after the last position step
+                scale = jnp.where(i == self.num_leapfrog - 1, 0.5, 1.0)
+                p = {u: p[u] - scale * eps * g[u] for u in p}
+                return q, p
+
+            q, p = jax.lax.fori_loop(0, self.num_leapfrog, body, (q, p))
+            return q, p
+
+        def hmc_step(q, eps, key):
+            kp, ka = jax.random.split(key)
+            keys = jax.random.split(kp, len(latent_uuids))
+            p0 = {u: jax.random.normal(k, q[u].shape, dtype=q[u].dtype)
+                  for u, k in zip(latent_uuids, keys)}
+            H0 = neg_logp(q) + kinetic(p0)
+            q1, p1 = leapfrog(q, p0, eps)
+            H1 = neg_logp(q1) + kinetic(p1)
+            dH = H0 - H1
+            log_u = jnp.log(jax.random.uniform(
+                ka, (C,), dtype=dH.dtype))
+            accept = log_u < dH
+            qn = {u: jnp.where(
+                accept.reshape((C,) + (1,) * (q[u].ndim - 1)),
+                q1[u], q[u]) for u in q}
+            accept_prob = jnp.minimum(1.0, jnp.exp(dH))
+            # guard NaN trajectories (divergences count as rejections)
+            accept_prob = jnp.where(jnp.isnan(accept_prob), 0.0,
+                                    accept_prob)
+            return qn, jnp.mean(accept_prob), accept_prob
+
+        # ---- warmup: dual averaging (Hoffman & Gelman 2014, §3.2)
+        dtype = list(q0.values())[0].dtype
+        eps0 = jnp.asarray(self.step_size, dtype=dtype)
+        mu = jnp.log(10.0 * eps0)
+        gamma, t0, kappa = 0.05, 10.0, 0.75
+
+        def warmup_body(carry, key):
+            q, log_eps, log_eps_bar, h_bar, t = carry
+            qn, mean_accept, _ = hmc_step(q, jnp.exp(log_eps), key)
+            # observed-data log-pdf terms may be wider (x64) than the
+            # latent dtype; keep the adaptation state at a fixed dtype
+            mean_accept = mean_accept.astype(dtype)
+            t = t + 1.0
+            h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + \
+                (self.target_accept - mean_accept) / (t + t0)
+            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+            w = t ** (-kappa)
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            return (qn, log_eps, log_eps_bar, h_bar, t), None
+
+        kw, ks = jax.random.split(ctx.next_key())
+        (q, _, log_eps_bar, _, _), _ = jax.lax.scan(
+            warmup_body,
+            (q0, jnp.log(eps0), jnp.log(eps0), jnp.zeros((), dtype),
+             jnp.zeros((), dtype)),
+            jax.random.split(kw, self.num_warmup))
+        eps = jnp.exp(log_eps_bar)
+
+        # ---- sampling
+        def sample_body(q, key):
+            qn, _, accept_prob = hmc_step(q, eps, key)
+            return qn, (qn, accept_prob)
+
+        _, (chain, accept_probs) = jax.lax.scan(
+            sample_body, q, jax.random.split(ks, self.num_samples))
+
+        targets = self.target_variables if self.target_variables \
+            else latent_uuids
+        samples = {u: chain[u] for u in targets}
+        diagnostics = {
+            "accept_rate": jnp.mean(accept_probs, axis=0),  # (C,)
+            "step_size": eps,
+        }
+        return samples, diagnostics
+
+
+class HMCInference(Inference):
+    """Driver: ``run(**data)`` returns the posterior sample dict and
+    stores ``.diagnostics`` (accept_rate per chain, adapted step size).
+
+    Example::
+
+        infr = HMCInference(HMCAlgorithm(model=m, observed=[m.y],
+                                         num_samples=500, num_chains=4))
+        samples = infr.run(y=y)[q_uuid]      # (500, 4, *event)
+        infr.diagnostics["accept_rate"]
+    """
+
+    def run(self, key=None, **kwargs):
+        out = super().run(key=key, **kwargs)
+        samples, diagnostics = out
+        self.diagnostics = {k: np.asarray(v)
+                            for k, v in diagnostics.items()}
+        return samples
