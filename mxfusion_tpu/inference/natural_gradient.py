@@ -1,0 +1,175 @@
+"""Natural-gradient optimization of SVGP variational parameters.
+
+No reference counterpart (amzn/MXFusion optimizes q(U)'s (mean,
+cov-factor) by adam like everything else). Natural-gradient descent on
+q(U)'s NATURAL parameters — the GPflow-proven recipe (Salimbeni et al.
+2018) — takes the exact information-geometry step for the Gaussian
+family, which for conjugate-likelihood SVGP regression can reach the
+optimal q(U) in O(1) steps per hyperparameter setting instead of
+hundreds of adam iterations.
+
+The update (minimizing loss = -ELBO), for q(U) = Π_d N(m_d, S) with a
+shared covariance over D output columns:
+
+    θ1 = S⁻¹ m,          θ2 = -½ S⁻¹          (natural params)
+    η1 = m,              η2 = D·S + Σ_d m_d m_dᵀ   (expectation params)
+    dL/dη1 = g_m - (2/D) g_S m,   dL/dη2 = g_S / D
+    θ ← θ - γ dL/dη      →  S' = (S⁻¹ + 2γ g_S/D)⁻¹,  m' = S' θ1'
+
+where (g_m, g_S) are the loss gradients w.r.t. (m, S) with S treated
+as a full symmetric matrix — obtained by autodiff through the
+executor with ``qU_cov_W = chol(S)`` substituted (and the redundant
+diagonal parameterization frozen at ~0). Hyperparameters (kernel,
+noise, Z) take a simultaneous optax step on the same loss evaluation.
+
+The whole (NGD + adam) update jits as one step and ``steps_per_call``
+scans it, exactly like BatchInferenceLoop.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .grad_loop import GradLoop
+from .batch_loop import make_optimizer
+from ..common.exceptions import InferenceError
+from ..ops.precision import einsum as p_einsum
+
+
+class NaturalGradientLoop(GradLoop):
+    """Full-batch loop: NGD on a SVGP module's q(U), optax on the rest.
+
+    Parameters
+    ----------
+    module : SVGPRegression factor (``m.Y.factor``)
+        Must be non-whitened (NGD is defined on the unwhitened q(U)).
+    nat_learning_rate : float
+        γ of the natural-gradient step (1.0 = exact coordinate-ascent
+        step for conjugate likelihoods; GPflow default 0.1 is robust).
+    """
+
+    def __init__(self, module, nat_learning_rate=0.1, steps_per_call=1,
+                 jitter=1e-10, metrics_callback=None):
+        if getattr(module, "whitened", False):
+            raise InferenceError(
+                "NaturalGradientLoop requires the non-whitened SVGP "
+                "parameterization (whitened NGD is not implemented).")
+        self.module = module
+        self.nat_learning_rate = nat_learning_rate
+        self.steps_per_call = steps_per_call
+        self.jitter = jitter
+        self.metrics_callback = metrics_callback
+
+    # ------------------------------------------------------------------
+    def run(self, executor, params, data, optimizer="adam",
+            learning_rate=1e-2, max_iter=1000, key=None, verbose=False,
+            callback=None, data_sharding=None):
+        import time as _time
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        post = self.module._extra_graphs[0]
+        u_mean, u_w, u_diag = (post.qU_mean.uuid, post.qU_cov_W.uuid,
+                               post.qU_cov_diag.uuid)
+        diag_trans = post.qU_cov_diag.transformation
+
+        trainable = dict(params.trainable_params())
+        fixed = dict(params.fixed_params())
+        for u in (u_mean, u_w, u_diag):
+            if u not in trainable:
+                raise InferenceError(
+                    "q(U) parameter {} is not trainable; "
+                    "NaturalGradientLoop needs all three q(U) "
+                    "parameters free.".format(u))
+        m0 = jnp.asarray(trainable.pop(u_mean))
+        W0 = jnp.asarray(trainable.pop(u_w))
+        d0_uncon = jnp.asarray(trainable.pop(u_diag))
+        # absorb the redundant diagonal into the full S, then freeze it
+        # at ~0 (the executor applies softplus to this value)
+        S0 = p_einsum("ik,jk->ij", W0, W0) + jnp.diag(
+            diag_trans.transform(d0_uncon))
+        frozen_diag = jnp.full_like(
+            d0_uncon, diag_trans.inverse_transform(
+                jnp.full((), self.jitter, dtype=d0_uncon.dtype)))
+        eye = jnp.eye(S0.shape[-1], dtype=S0.dtype)
+        D = float(m0.shape[-1])
+        gamma = self.nat_learning_rate
+        opt = make_optimizer(optimizer, learning_rate)
+        opt_state = opt.init(trainable)
+        data = [jnp.asarray(d) for d in data]
+        metrics_cb = self.metrics_callback
+
+        def loss_fn(hyper, m, S, key):
+            S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+            W = jnp.linalg.cholesky(S)
+            tr = {**hyper, u_mean: m, u_w: W, u_diag: frozen_diag}
+            loss, loss_for_grad, _ = executor(tr, fixed, data, key)
+            return loss_for_grad, loss
+
+        def one_step(hyper, m, S, opt_state, key):
+            (_, loss), (g_hyper, g_m, g_S) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True)(hyper, m, S,
+                                                          key)
+            g_S = 0.5 * (g_S + jnp.swapaxes(g_S, -1, -2))
+            # ---- natural-gradient step on q(U)
+            LS = jnp.linalg.cholesky(S)
+            Sinv = jax.scipy.linalg.cho_solve((LS, True), eye)
+            theta1 = Sinv @ m
+            theta1_new = theta1 - gamma * (g_m - (2.0 / D) * (g_S @ m))
+            P = Sinv + (2.0 * gamma / D) * g_S
+            P = 0.5 * (P + jnp.swapaxes(P, -1, -2)) + self.jitter * eye
+            LP = jnp.linalg.cholesky(P)
+            S_new = jax.scipy.linalg.cho_solve((LP, True), eye)
+            S_new = 0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
+            m_new = S_new @ theta1_new
+            # divergence guard: keep the previous q(U) on a NaN step
+            bad = jnp.any(jnp.isnan(S_new)) | jnp.any(jnp.isnan(m_new))
+            S_new = jnp.where(bad, S, S_new)
+            m_new = jnp.where(bad, m, m_new)
+            # ---- simultaneous optax step on the hyperparameters
+            updates, opt_state = opt.update(g_hyper, opt_state, hyper)
+            hyper = optax.apply_updates(hyper, updates)
+            gnorm = optax.global_norm((g_hyper, g_m, g_S)) \
+                if metrics_cb is not None else jnp.zeros((), loss.dtype)
+            return hyper, m_new, S_new, opt_state, loss, gnorm
+
+        k = self.steps_per_call
+
+        @jax.jit
+        def multi_step(hyper, m, S, opt_state, key):
+            def body(carry, subkey):
+                hyper, m, S, st = carry
+                hyper, m, S, st, loss, gnorm = one_step(hyper, m, S, st,
+                                                        subkey)
+                return (hyper, m, S, st), (loss, gnorm)
+            keys = jax.random.split(key, k)
+            (hyper, m, S, st), (losses, gnorms) = jax.lax.scan(
+                body, (hyper, m, S, opt_state), keys)
+            return hyper, m, S, st, losses, gnorms
+
+        hyper, m, S = trainable, m0, S0
+        loss = None
+        n_calls = -(-max_iter // k)
+        for c in range(n_calls):
+            t0 = _time.perf_counter()
+            key, sk = jax.random.split(key)
+            hyper, m, S, opt_state, losses, gnorms = multi_step(
+                hyper, m, S, opt_state, sk)
+            loss = losses[-1]
+            if verbose:
+                print("Iteration {} loss: {}".format(
+                    min((c + 1) * k, max_iter), float(loss)))
+            if callback is not None:
+                for i, l in enumerate(np.asarray(losses)):
+                    callback(c * k + i, float(l))
+            if metrics_cb is not None:
+                metrics_cb(c, {"loss": float(jnp.mean(losses)),
+                               "grad_norm": float(jnp.mean(gnorms)),
+                               "step_time_s": _time.perf_counter() - t0})
+        # write the optimized state back in the executor's native
+        # parameterization
+        S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+        params.update_params(hyper)
+        params.update_params({u_mean: m,
+                              u_w: jnp.linalg.cholesky(S),
+                              u_diag: frozen_diag})
+        return np.asarray(loss) if loss is not None else None
