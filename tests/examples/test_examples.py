@@ -17,6 +17,8 @@ EXAMPLES = [
     "pilco/pilco_example.py",
     "data_parallel_svi.py",
     "svgp_large_scale.py",
+    "hmc_regression.py",
+    "svgp_natural_gradient.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
