@@ -23,4 +23,5 @@ from .prediction import ModulePredictionAlgorithm
 from .serving import BatchedPredictor
 from .pilco_alg import PILCOAlgorithm
 from .hmc import HMCAlgorithm, HMCInference, potential_scale_reduction
-from .natural_gradient import NaturalGradientLoop
+from .natural_gradient import NaturalGradientLoop, \
+    NaturalGradientMinibatchLoop

@@ -56,6 +56,24 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
         # mesh's data-axis size.
         self.shard_local_shuffle = shard_local_shuffle
 
+    def _build_one_step(self, executor, opt, metrics_cb):
+        """Single optimizer step ``(trainable, fixed, opt_state, key,
+        batch) -> (trainable, opt_state, loss, aux, gnorm)``; override
+        point for alternative updates (natural gradients)."""
+        def one_step(trainable, fixed, opt_state, key, batch):
+            def loss_fn(tr):
+                loss, loss_for_grad, aux = executor(tr, fixed, batch, key)
+                return loss_for_grad, (loss, aux)
+            (_, (loss, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable)
+            # static flag: only traced in when a metrics consumer exists
+            gnorm = optax.global_norm(grads) if metrics_cb is not None \
+                else jnp.zeros((), dtype=loss.dtype)
+            updates, opt_state = opt.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss, aux, gnorm
+        return one_step
+
     def run(self, executor, params, data, optimizer="adam",
             learning_rate=1e-3, max_iter=1000, key=None, verbose=False,
             callback=None, data_sharding=None):
@@ -143,18 +161,7 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
 
             parked = data
 
-        def one_step(trainable, fixed, opt_state, key, batch):
-            def loss_fn(tr):
-                loss, loss_for_grad, aux = executor(tr, fixed, batch, key)
-                return loss_for_grad, (loss, aux)
-            (_, (loss, aux)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(trainable)
-            # static flag: only traced in when a metrics consumer exists
-            gnorm = optax.global_norm(grads) if metrics_cb is not None \
-                else jnp.zeros((), dtype=loss.dtype)
-            updates, opt_state = opt.update(grads, opt_state, trainable)
-            trainable = optax.apply_updates(trainable, updates)
-            return trainable, opt_state, loss, aux, gnorm
+        one_step = self._build_one_step(executor, opt, metrics_cb)
 
         sample_batch = [d[:B] for d in data]
         aux_zeros = _aux_zeros(executor, trainable, fixed, sample_batch,

@@ -32,8 +32,39 @@ import optax
 
 from .grad_loop import GradLoop
 from .batch_loop import make_optimizer
+from .device_loop import DeviceMinibatchLoop
 from ..common.exceptions import InferenceError
 from ..ops.precision import einsum as p_einsum
+
+
+def _check_not_whitened(module):
+    if getattr(module, "whitened", False):
+        raise InferenceError(
+            "Natural-gradient loops require the non-whitened SVGP "
+            "parameterization (whitened NGD is not implemented).")
+
+
+def _qu_uuids(module):
+    post = module._extra_graphs[0]
+    return (post.qU_mean.uuid, post.qU_cov_W.uuid,
+            post.qU_cov_diag.uuid, post.qU_cov_diag.transformation)
+
+
+def _ngd_update(m, S, g_m, g_S, gamma, jitter, eye, D):
+    """One natural-gradient step on q(U)=Π_d N(m_d, S); returns the
+    updated (m, S) with a NaN-divergence guard keeping the old state."""
+    g_S = 0.5 * (g_S + jnp.swapaxes(g_S, -1, -2))
+    LS = jnp.linalg.cholesky(S)
+    Sinv = jax.scipy.linalg.cho_solve((LS, True), eye)
+    theta1_new = Sinv @ m - gamma * (g_m - (2.0 / D) * (g_S @ m))
+    P = Sinv + (2.0 * gamma / D) * g_S
+    P = 0.5 * (P + jnp.swapaxes(P, -1, -2)) + jitter * eye
+    LP = jnp.linalg.cholesky(P)
+    S_new = jax.scipy.linalg.cho_solve((LP, True), eye)
+    S_new = 0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
+    m_new = S_new @ theta1_new
+    bad = jnp.any(jnp.isnan(S_new)) | jnp.any(jnp.isnan(m_new))
+    return jnp.where(bad, m, m_new), jnp.where(bad, S, S_new)
 
 
 class NaturalGradientLoop(GradLoop):
@@ -109,22 +140,9 @@ class NaturalGradientLoop(GradLoop):
             (_, loss), (g_hyper, g_m, g_S) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1, 2), has_aux=True)(hyper, m, S,
                                                           key)
-            g_S = 0.5 * (g_S + jnp.swapaxes(g_S, -1, -2))
             # ---- natural-gradient step on q(U)
-            LS = jnp.linalg.cholesky(S)
-            Sinv = jax.scipy.linalg.cho_solve((LS, True), eye)
-            theta1 = Sinv @ m
-            theta1_new = theta1 - gamma * (g_m - (2.0 / D) * (g_S @ m))
-            P = Sinv + (2.0 * gamma / D) * g_S
-            P = 0.5 * (P + jnp.swapaxes(P, -1, -2)) + self.jitter * eye
-            LP = jnp.linalg.cholesky(P)
-            S_new = jax.scipy.linalg.cho_solve((LP, True), eye)
-            S_new = 0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
-            m_new = S_new @ theta1_new
-            # divergence guard: keep the previous q(U) on a NaN step
-            bad = jnp.any(jnp.isnan(S_new)) | jnp.any(jnp.isnan(m_new))
-            S_new = jnp.where(bad, S, S_new)
-            m_new = jnp.where(bad, m, m_new)
+            m_new, S_new = _ngd_update(m, S, g_m, g_S, gamma,
+                                       self.jitter, eye, D)
             # ---- simultaneous optax step on the hyperparameters
             updates, opt_state = opt.update(g_hyper, opt_state, hyper)
             hyper = optax.apply_updates(hyper, updates)
@@ -173,3 +191,76 @@ class NaturalGradientLoop(GradLoop):
                               u_w: jnp.linalg.cholesky(S),
                               u_diag: frozen_diag})
         return np.asarray(loss) if loss is not None else None
+
+
+class NaturalGradientMinibatchLoop(DeviceMinibatchLoop):
+    """Device-resident minibatch SVI with natural-gradient q(U) updates.
+
+    ``rv_scaling = N/B`` makes each minibatch loss an unbiased estimator
+    of the full ELBO, so the per-batch natural-gradient step uses
+    unbiased natural-gradient estimates — stochastic NGD (the GPflow
+    recipe; use a smaller ``nat_learning_rate`` than full-batch, ~0.1).
+    Hyperparameters take the regular optax step on the same evaluation.
+    Everything else (HBM-resident dataset, one XLA program per epoch,
+    optional ``shard_local_shuffle``) is inherited from
+    :class:`DeviceMinibatchLoop`.
+    """
+
+    def __init__(self, module, batch_size=100, rv_scaling=None,
+                 nat_learning_rate=0.1, jitter=1e-10,
+                 metrics_callback=None, shard_local_shuffle=False):
+        _check_not_whitened(module)
+        super().__init__(batch_size=batch_size, rv_scaling=rv_scaling,
+                         metrics_callback=metrics_callback,
+                         shard_local_shuffle=shard_local_shuffle)
+        self.module = module
+        self.nat_learning_rate = nat_learning_rate
+        self.jitter = jitter
+
+    def _build_one_step(self, executor, opt, metrics_cb):
+        u_mean, u_w, u_diag, diag_trans = _qu_uuids(self.module)
+        gamma = self.nat_learning_rate
+        jitter = self.jitter
+
+        def one_step(trainable, fixed, opt_state, key, batch):
+            m = trainable[u_mean]
+            W = trainable[u_w]
+            d_un = trainable[u_diag]
+            S = p_einsum("ik,jk->ij", W, W) + jnp.diag(
+                diag_trans.transform(d_un))
+            eye = jnp.eye(S.shape[-1], dtype=S.dtype)
+            frozen = jnp.full_like(d_un, diag_trans.inverse_transform(
+                jnp.full((), jitter, dtype=d_un.dtype)))
+            hyper = {k: v for k, v in trainable.items()
+                     if k not in (u_mean, u_w, u_diag)}
+
+            def loss_fn(hyper, m, S):
+                Ssym = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+                Wc = jnp.linalg.cholesky(Ssym)
+                tr = {**hyper, u_mean: m, u_w: Wc, u_diag: frozen}
+                loss, loss_for_grad, aux = executor(tr, fixed, batch,
+                                                    key)
+                return loss_for_grad, (loss, aux)
+
+            (_, (loss, aux)), (g_h, g_m, g_S) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True)(hyper, m, S)
+            D = float(m.shape[-1])
+            m_new, S_new = _ngd_update(m, S, g_m, g_S, gamma, jitter,
+                                       eye, D)
+            # optax over the FULL trainable structure (q(U) grads
+            # zeroed) so opt_state matches the base loop's init; the
+            # q(U) entries are then overwritten by the NGD result
+            g_full = {**g_h, u_mean: jnp.zeros_like(m),
+                      u_w: jnp.zeros_like(W),
+                      u_diag: jnp.zeros_like(d_un)}
+            gnorm = optax.global_norm((g_h, g_m, g_S)) \
+                if metrics_cb is not None else jnp.zeros((), loss.dtype)
+            updates, opt_state = opt.update(g_full, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            trainable = {**trainable, u_mean: m_new,
+                         u_w: jnp.linalg.cholesky(
+                             S_new + jitter * eye),
+                         u_diag: frozen}
+            return trainable, opt_state, loss, aux, gnorm
+
+        return one_step

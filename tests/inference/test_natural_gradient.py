@@ -142,3 +142,68 @@ def test_ngd_rejects_whitened():
     m, X, Y, Z0 = _setup(whitened=True)
     with pytest.raises(InferenceError, match="whitened"):
         NaturalGradientLoop(module=m.Y.factor)
+
+
+def test_ngd_minibatch_device_loop_converges():
+    """Stochastic NGD through the device-resident minibatch loop."""
+    from mxfusion_tpu.inference import NaturalGradientMinibatchLoop
+    N, M, B = 400, 8, 100
+    rng = np.random.default_rng(3)
+    X = rng.random((N, 1)) * 4
+    Y = np.sin(X) + rng.standard_normal((N, 1)) * 0.1
+    Z0 = np.linspace(0.1, 3.9, M)[:, None]
+    m = Model()
+    m.N = Variable()
+    m.X = Variable(shape=(m.N, 1))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.04)
+    kernel = RBF(input_dim=1, variance=1.2, lengthscale=0.8,
+                 dtype="float64")
+    m.Y = SVGPRegression.define_variable(
+        X=m.X, kernel=kernel, noise_var=m.noise_var, shape=(m.N, 1),
+        inducing_inputs=Variable(shape=(M, 1), initial_value=Z0),
+        dtype="float64", jitter=0.0)
+    alg = MAP(model=m, observed=[m.X, m.Y])
+    loop = NaturalGradientMinibatchLoop(
+        module=m.Y.factor, batch_size=B, rv_scaling={m.Y: N / B},
+        nat_learning_rate=0.2)
+    infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop)
+    losses = []
+    infr.run(max_iter=20, learning_rate=0.02, X=X, Y=Y,
+             key=jax.random.PRNGKey(0),
+             callback=lambda e, l: losses.append(l))
+    assert losses[-1] < losses[0]
+    # adam-only baseline from the same init: NGD's per-epoch loss must
+    # be clearly ahead at the same epoch count
+    from mxfusion_tpu.inference import DeviceMinibatchLoop
+    m2 = Model()
+    m2.N = Variable()
+    m2.X = Variable(shape=(m2.N, 1))
+    m2.noise_var = Variable(transformation=PositiveTransformation(),
+                            initial_value=0.04)
+    kernel2 = RBF(input_dim=1, variance=1.2, lengthscale=0.8,
+                  dtype="float64")
+    m2.Y = SVGPRegression.define_variable(
+        X=m2.X, kernel=kernel2, noise_var=m2.noise_var,
+        shape=(m2.N, 1),
+        inducing_inputs=Variable(shape=(M, 1), initial_value=Z0),
+        dtype="float64", jitter=0.0)
+    alg2 = MAP(model=m2, observed=[m2.X, m2.Y])
+    loop2 = DeviceMinibatchLoop(batch_size=B,
+                                rv_scaling={m2.Y: N / B})
+    infr2 = GradBasedInference(inference_algorithm=alg2,
+                               grad_loop=loop2)
+    losses2 = []
+    infr2.run(max_iter=20, learning_rate=0.02, X=X, Y=Y,
+              key=jax.random.PRNGKey(0),
+              callback=lambda e, l: losses2.append(l))
+    assert losses[-1] < losses2[-1]
+    # the trained state predicts through the standard path
+    from mxfusion_tpu.inference import (ModulePredictionAlgorithm,
+                                        TransferInference)
+    Xt = np.linspace(0, 4, 7)[:, None]
+    p = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+        infr_params=infr.params)
+    mu, _ = p.run(X=Xt)[0]
+    assert np.abs(np.asarray(mu)[0, :, 0] - np.sin(Xt[:, 0])).mean() < 0.25
