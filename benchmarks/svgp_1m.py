@@ -7,9 +7,10 @@ gather feeding a lax.scan of optimizer steps). Host traffic per epoch
 is a single scalar fetch, vs ~3.9 s/epoch of host->device batch
 transfer on the r1 host loop (benchmarks/NOTES.md).
 
-Usage: python benchmarks/svgp_1m.py [epochs] [host|fast]
+Usage: python benchmarks/svgp_1m.py [epochs] [host|fast|ngd]
        ("host" = old host-batching loop for comparison; "fast" = opt-in
-        mixed data-side precision, ops.precision.set_data_precision)
+        mixed data-side precision, ops.precision.set_data_precision;
+        "ngd" = stochastic natural-gradient q(U) updates)
 """
 import os
 import sys
@@ -22,7 +23,7 @@ import numpy as np
 
 
 def main(epochs=4, n_total=1_000_000, batch=4096, m_inducing=256, d=8,
-         host_loop=False, fast=False):
+         host_loop=False, fast=False, ngd=False):
     if fast:
         from mxfusion_tpu.ops.precision import set_data_precision
         set_data_precision("default")
@@ -32,7 +33,8 @@ def main(epochs=4, n_total=1_000_000, batch=4096, m_inducing=256, d=8,
     from mxfusion_tpu.modules import SVGPRegression
     from mxfusion_tpu.inference import (MAP, GradBasedInference,
                                         MinibatchInferenceLoop,
-                                        DeviceMinibatchLoop)
+                                        DeviceMinibatchLoop,
+                                        NaturalGradientMinibatchLoop)
 
     rng = np.random.default_rng(0)
     X = rng.random((n_total, d)).astype(np.float32) * 4
@@ -56,6 +58,10 @@ def main(epochs=4, n_total=1_000_000, batch=4096, m_inducing=256, d=8,
         loop = MinibatchInferenceLoop(batch_size=batch,
                                       rv_scaling={m.Y: n_total / batch},
                                       batches_per_call=20)
+    elif ngd:
+        loop = NaturalGradientMinibatchLoop(
+            module=m.Y.factor, batch_size=batch,
+            rv_scaling={m.Y: n_total / batch}, nat_learning_rate=0.1)
     else:
         loop = DeviceMinibatchLoop(batch_size=batch,
                                    rv_scaling={m.Y: n_total / batch})
@@ -80,8 +86,10 @@ def main(epochs=4, n_total=1_000_000, batch=4096, m_inducing=256, d=8,
     steps = epochs * steps_per_epoch
     steady = epoch_times[1:] or epoch_times
     steady_epoch = sum(steady) / len(steady)
-    print("loop: {}".format("host MinibatchInferenceLoop" if host_loop
-                            else "DeviceMinibatchLoop (HBM-resident)"))
+    print("loop: {}".format(
+        "host MinibatchInferenceLoop" if host_loop else
+        "NaturalGradientMinibatchLoop (HBM-resident)" if ngd else
+        "DeviceMinibatchLoop (HBM-resident)"))
     print("per-epoch mean scaled -ELBO: {}".format(
         ["{:.4g}".format(v) for v in trajectory]))
     print("{} optimizer steps over 10^6 points in {:.1f}s total; "
@@ -96,4 +104,5 @@ def main(epochs=4, n_total=1_000_000, batch=4096, m_inducing=256, d=8,
 if __name__ == "__main__":
     main(epochs=int(sys.argv[1]) if len(sys.argv) > 1 else 4,
          host_loop=len(sys.argv) > 2 and sys.argv[2] == "host",
-         fast=len(sys.argv) > 2 and sys.argv[2] == "fast")
+         fast=len(sys.argv) > 2 and sys.argv[2] == "fast",
+         ngd=len(sys.argv) > 2 and sys.argv[2] == "ngd")
