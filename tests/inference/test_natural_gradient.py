@@ -207,3 +207,39 @@ def test_ngd_minibatch_device_loop_converges():
         infr_params=infr.params)
     mu, _ = p.run(X=Xt)[0]
     assert np.abs(np.asarray(mu)[0, :, 0] - np.sin(Xt[:, 0])).mean() < 0.25
+
+
+def test_ngd_multioutput_reaches_collapsed_bound():
+    """D=2 outputs share S: the 1/D natural-parameter scaling must
+    still land on the optimum (= sum of per-column Titsias bounds) at
+    gamma=1 with fixed hyperparameters."""
+    N, M, D = 50, 6, 2
+    rng = np.random.default_rng(4)
+    X = rng.random((N, 1)) * 4
+    Y = np.concatenate([np.sin(X), np.cos(X)], axis=1) \
+        + rng.standard_normal((N, D)) * 0.1
+    Z0 = np.linspace(0.1, 3.9, M)[:, None]
+    m = Model()
+    m.N = Variable()
+    m.X = Variable(shape=(m.N, 1))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.04)
+    kernel = RBF(input_dim=1, variance=1.2, lengthscale=0.8,
+                 dtype="float64")
+    m.Y = SVGPRegression.define_variable(
+        X=m.X, kernel=kernel, noise_var=m.noise_var, shape=(m.N, D),
+        inducing_inputs=Variable(shape=(M, 1), initial_value=Z0),
+        dtype="float64", jitter=0.0)
+    alg = MAP(model=m, observed=[m.X, m.Y])
+    loop = NaturalGradientLoop(module=m.Y.factor, nat_learning_rate=1.0)
+    infr = GradBasedInference(inference_algorithm=alg, grad_loop=loop,
+                              dtype="float64")
+    infr.initialize(X=X, Y=Y)
+    _freeze_hypers(infr, m)
+    losses = []
+    infr.run(max_iter=3, learning_rate=0.0, X=X, Y=Y,
+             key=jax.random.PRNGKey(0),
+             callback=lambda i, l: losses.append(l))
+    optimal = -sum(_collapsed_bound(X, Y[:, d:d + 1], Z0, 0.8, 1.2,
+                                    0.04) for d in range(D))
+    assert np.isclose(losses[1], optimal, rtol=1e-8), (losses, optimal)
