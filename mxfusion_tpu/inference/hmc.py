@@ -71,8 +71,8 @@ class HMCAlgorithm(SamplingAlgorithm):
 
     def __init__(self, model, observed, num_samples=500, num_warmup=500,
                  num_chains=4, step_size=0.1, num_leapfrog=16,
-                 target_accept=0.8, target_variables=None,
-                 extra_graphs=None):
+                 target_accept=0.8, adapt_mass=True,
+                 target_variables=None, extra_graphs=None):
         super().__init__(model=model, observed=observed,
                          num_samples=num_samples,
                          target_variables=target_variables,
@@ -82,6 +82,10 @@ class HMCAlgorithm(SamplingAlgorithm):
         self.step_size = step_size
         self.num_leapfrog = num_leapfrog
         self.target_accept = target_accept
+        # diagonal metric adaptation (Stan-style): first half of warmup
+        # estimates per-dimension posterior variance (chains pooled),
+        # second half re-adapts the step size under that metric
+        self.adapt_mass = adapt_mass
 
     # ------------------------------------------------------------------
     def _latent_uuids(self):
@@ -118,19 +122,19 @@ class HMCAlgorithm(SamplingAlgorithm):
 
         grad_U = jax.grad(lambda q: jnp.sum(neg_logp(q)))
 
-        def kinetic(p):
+        def kinetic(p, inv_mass):
             k = jnp.zeros((C,), dtype=list(p.values())[0].dtype)
-            for v in p.values():
-                k = k + 0.5 * _per_chain_sum(v ** 2)
+            for u, v in p.items():
+                k = k + 0.5 * _per_chain_sum(v ** 2 * inv_mass[u])
             return k
 
-        def leapfrog(q, p, eps):
+        def leapfrog(q, p, eps, inv_mass):
             g = grad_U(q)
             p = {u: p[u] - 0.5 * eps * g[u] for u in p}
 
             def body(i, qp):
                 q, p = qp
-                q = {u: q[u] + eps * p[u] for u in q}
+                q = {u: q[u] + eps * inv_mass[u] * p[u] for u in q}
                 g = grad_U(q)
                 # full momentum step except after the last position step
                 scale = jnp.where(i == self.num_leapfrog - 1, 0.5, 1.0)
@@ -140,14 +144,16 @@ class HMCAlgorithm(SamplingAlgorithm):
             q, p = jax.lax.fori_loop(0, self.num_leapfrog, body, (q, p))
             return q, p
 
-        def hmc_step(q, eps, key):
+        def hmc_step(q, eps, inv_mass, key):
             kp, ka = jax.random.split(key)
             keys = jax.random.split(kp, len(latent_uuids))
+            # p ~ N(0, M) with M = 1/inv_mass (diagonal metric)
             p0 = {u: jax.random.normal(k, q[u].shape, dtype=q[u].dtype)
+                  / jnp.sqrt(inv_mass[u])
                   for u, k in zip(latent_uuids, keys)}
-            H0 = neg_logp(q) + kinetic(p0)
-            q1, p1 = leapfrog(q, p0, eps)
-            H1 = neg_logp(q1) + kinetic(p1)
+            H0 = neg_logp(q) + kinetic(p0, inv_mass)
+            q1, p1 = leapfrog(q, p0, eps, inv_mass)
+            H1 = neg_logp(q1) + kinetic(p1, inv_mass)
             dH = H0 - H1
             log_u = jnp.log(jax.random.uniform(
                 ka, (C,), dtype=dH.dtype))
@@ -161,37 +167,70 @@ class HMCAlgorithm(SamplingAlgorithm):
                                     accept_prob)
             return qn, jnp.mean(accept_prob), accept_prob
 
-        # ---- warmup: dual averaging (Hoffman & Gelman 2014, §3.2)
+        # ---- warmup: dual averaging (Hoffman & Gelman 2014, §3.2) in
+        # two phases: phase 1 adapts the step size under the identity
+        # metric while accumulating per-dimension posterior variance
+        # (chains pooled); phase 2 re-adapts the step size under the
+        # adapted diagonal metric (Stan-style windowed adaptation,
+        # collapsed to one window)
         dtype = list(q0.values())[0].dtype
         eps0 = jnp.asarray(self.step_size, dtype=dtype)
-        mu = jnp.log(10.0 * eps0)
         gamma, t0, kappa = 0.05, 10.0, 0.75
 
-        def warmup_body(carry, key):
-            q, log_eps, log_eps_bar, h_bar, t = carry
-            qn, mean_accept, _ = hmc_step(q, jnp.exp(log_eps), key)
-            # observed-data log-pdf terms may be wider (x64) than the
-            # latent dtype; keep the adaptation state at a fixed dtype
-            mean_accept = mean_accept.astype(dtype)
-            t = t + 1.0
-            h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + \
-                (self.target_accept - mean_accept) / (t + t0)
-            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-            w = t ** (-kappa)
-            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-            return (qn, log_eps, log_eps_bar, h_bar, t), None
+        def make_warmup_body(inv_mass, mu, accumulate):
+            def warmup_body(carry, key):
+                q, log_eps, log_eps_bar, h_bar, t, s1, s2 = carry
+                qn, mean_accept, _ = hmc_step(q, jnp.exp(log_eps),
+                                              inv_mass, key)
+                # observed-data log-pdf terms may be wider (x64) than
+                # the latent dtype; keep adaptation at a fixed dtype
+                mean_accept = mean_accept.astype(dtype)
+                t = t + 1.0
+                h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + \
+                    (self.target_accept - mean_accept) / (t + t0)
+                log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+                w = t ** (-kappa)
+                log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+                if accumulate:
+                    s1 = {u: s1[u] + jnp.sum(qn[u], axis=0) for u in s1}
+                    s2 = {u: s2[u] + jnp.sum(qn[u] ** 2, axis=0)
+                          for u in s2}
+                return (qn, log_eps, log_eps_bar, h_bar, t, s1, s2), None
+            return warmup_body
 
-        kw, ks = jax.random.split(ctx.next_key())
-        (q, _, log_eps_bar, _, _), _ = jax.lax.scan(
-            warmup_body,
-            (q0, jnp.log(eps0), jnp.log(eps0), jnp.zeros((), dtype),
-             jnp.zeros((), dtype)),
-            jax.random.split(kw, self.num_warmup))
-        eps = jnp.exp(log_eps_bar)
+        def run_warmup(q, eps_init, inv_mass, n, accumulate, key):
+            zeros = {u: jnp.zeros(q[u].shape[1:], dtype=dtype)
+                     for u in q}
+            mu = jnp.log(10.0 * eps_init)
+            carry = (q, jnp.log(eps_init), jnp.log(eps_init),
+                     jnp.zeros((), dtype), jnp.zeros((), dtype),
+                     zeros, dict(zeros))
+            body = make_warmup_body(inv_mass, mu, accumulate)
+            (q, _, log_eps_bar, _, _, s1, s2), _ = jax.lax.scan(
+                body, carry, jax.random.split(key, n))
+            return q, jnp.exp(log_eps_bar), s1, s2
+
+        unit_mass = {u: jnp.ones(q0[u].shape[1:], dtype=dtype)
+                     for u in q0}
+        kw1, kw2, ks = jax.random.split(ctx.next_key(), 3)
+        if self.adapt_mass and self.num_warmup >= 4:
+            n1 = self.num_warmup // 2
+            n2 = self.num_warmup - n1
+            q, eps, s1, s2 = run_warmup(q0, eps0, unit_mass, n1, True,
+                                        kw1)
+            n_obs = n1 * C
+            var = {u: jnp.clip(s2[u] / n_obs - (s1[u] / n_obs) ** 2,
+                               1e-6, 1e6) for u in s1}
+            inv_mass = var  # inverse metric = posterior variance (Stan)
+            q, eps, _, _ = run_warmup(q, eps, inv_mass, n2, False, kw2)
+        else:
+            inv_mass = unit_mass
+            q, eps, _, _ = run_warmup(q0, eps0, unit_mass,
+                                      self.num_warmup, False, kw1)
 
         # ---- sampling
         def sample_body(q, key):
-            qn, _, accept_prob = hmc_step(q, eps, key)
+            qn, _, accept_prob = hmc_step(q, eps, inv_mass, key)
             return qn, (qn, accept_prob)
 
         _, (chain, accept_probs) = jax.lax.scan(

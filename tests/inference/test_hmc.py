@@ -99,3 +99,37 @@ def test_hmc_shapes_targets_and_determinism():
     ).run(y=y, key=jax.random.PRNGKey(3))
     np.testing.assert_array_equal(np.asarray(s1[m.mu.uuid]),
                                   np.asarray(s2[m.mu.uuid]))
+
+
+def test_hmc_mass_adaptation_handles_anisotropy():
+    """Prior-only target with variances (100, 0.01): the adapted
+    diagonal metric must recover both scales, where the identity
+    metric's step size is pinned by the narrow dimension and
+    under-explores the wide one at the same budget."""
+    m = Model()
+    m.w = Normal.define_variable(
+        mean=broadcast_to(Variable(value=0.), (2,)),
+        variance=Variable(value=np.array([100.0, 0.01])),
+        shape=(2,))
+
+    def run(adapt):
+        alg = HMCAlgorithm(model=m, observed=[], num_samples=300,
+                           num_warmup=300, num_chains=4,
+                           num_leapfrog=8, adapt_mass=adapt)
+        infr = HMCInference(inference_algorithm=alg)
+        s = infr.run(key=jax.random.PRNGKey(5))
+        return (np.asarray(s[m.w.uuid]).reshape(-1, 2),
+                float(infr.diagnostics["step_size"]),
+                infr.diagnostics["accept_rate"])
+
+    adapted, eps_adapted, acc = run(True)
+    _, eps_plain, _ = run(False)
+    # both scales recovered through the adapted metric
+    assert abs(adapted[:, 0].var() - 100.0) / 100.0 < 0.4
+    assert abs(adapted[:, 1].var() - 0.01) / 0.01 < 0.4
+    assert np.all(acc > 0.5)
+    # with inverse-metric ~ posterior variance the dynamics are
+    # unit-scale, so dual averaging settles on a much larger step size
+    # than the identity metric (whose eps is pinned by the 0.1-scale
+    # dimension)
+    assert eps_adapted > 3 * eps_plain, (eps_adapted, eps_plain)
