@@ -263,4 +263,51 @@ class HMCInference(Inference):
         samples, diagnostics = out
         self.diagnostics = {k: np.asarray(v)
                             for k, v in diagnostics.items()}
+        self._samples = samples
         return samples
+
+    def sample_predictive(self, key=None, samples=None, targets=None,
+                          **data):
+        """Posterior-predictive draws: ancestral sampling of the model
+        with the latents pinned to the stored (or given) HMC draws —
+        one draw of every downstream variable per posterior sample.
+        Chains merge onto the standard leading sample axis.
+
+        Returns {uuid: (num_samples * num_chains, *event_shape)} for
+        ``targets`` (default: the model's leaves not given as data).
+        """
+        import jax as _jax
+        if samples is None:
+            samples = getattr(self, "_samples", None)
+        if samples is None:
+            raise InferenceError("run() the chain before "
+                                 "sample_predictive().")
+        if key is None:
+            key = _jax.random.PRNGKey(0)
+        alg = self._algorithm
+        flat = {u: jnp.reshape(jnp.asarray(a),
+                               (-1,) + tuple(a.shape[2:]))
+                for u, a in samples.items()}
+        n = list(flat.values())[0].shape[0]
+        model = alg.model
+
+        class _Predictive(SamplingAlgorithm):
+            def compute(self, env, ctx):
+                env = dict(env)
+                env.update(flat)   # pinned latents: sampling skips them
+                return self.model.draw_samples(
+                    env, ctx.next_key(), num_samples=n,
+                    targets=self.target_variables)
+
+        from .inference_alg import create_sampling_executor
+        # only the variables actually passed stay observed; the rest
+        # (e.g. the training targets) are ancestrally sampled
+        observed = [v for v in alg.observed_variables if v.name in data]
+        pred_alg = _Predictive(
+            model=model, observed=observed, num_samples=n,
+            target_variables=[t.uuid if hasattr(t, "uuid") else t
+                              for t in targets] if targets else None)
+        executor = create_sampling_executor(pred_alg, self.params)
+        data_list = [np.asarray(data[v.name]) for v in observed]
+        return executor(self.params.trainable_params(),
+                        self.params.fixed_params(), data_list, key)

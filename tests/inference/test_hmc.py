@@ -133,3 +133,28 @@ def test_hmc_mass_adaptation_handles_anisotropy():
     # than the identity metric (whose eps is pinned by the 0.1-scale
     # dimension)
     assert eps_adapted > 3 * eps_plain, (eps_adapted, eps_plain)
+
+
+def test_hmc_posterior_predictive():
+    """Predictive moments of the conjugate model: var = s2 + post_var."""
+    N, s2, tau2 = 50, 4.0, 100.0
+    rng = np.random.default_rng(6)
+    y = rng.standard_normal((N, 1)) * np.sqrt(s2) + 3.0
+    m = Model()
+    m.mu = Normal.define_variable(mean=0., variance=tau2, shape=(1,))
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (N, 1)),
+                                 variance=broadcast_to(
+                                     Variable(value=s2), (N, 1)),
+                                 shape=(N, 1))
+    alg = HMCAlgorithm(model=m, observed=[m.y], num_samples=500,
+                       num_warmup=300, num_chains=4, num_leapfrog=8)
+    infr = HMCInference(inference_algorithm=alg)
+    infr.run(y=y, key=jax.random.PRNGKey(0))
+    pred = infr.sample_predictive(key=jax.random.PRNGKey(1))
+    yrep = np.asarray(pred[m.y.uuid])        # (2000, N, 1)
+    assert yrep.shape == (2000, N, 1)
+    post_var = 1.0 / (N / s2 + 1.0 / tau2)
+    post_mean = post_var * y.sum() / s2
+    flat = yrep.reshape(yrep.shape[0], -1)
+    assert abs(flat.mean() - post_mean) < 0.15
+    assert np.isclose(flat.var(), s2 + post_var, rtol=0.15)
