@@ -25,3 +25,4 @@ from .pilco_alg import PILCOAlgorithm
 from .hmc import HMCAlgorithm, HMCInference, potential_scale_reduction
 from .natural_gradient import NaturalGradientLoop, \
     NaturalGradientMinibatchLoop
+from .laplace import laplace_approximation, LaplaceResult
