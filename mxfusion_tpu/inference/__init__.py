@@ -22,7 +22,8 @@ from .expectation import (
 from .prediction import ModulePredictionAlgorithm
 from .serving import BatchedPredictor
 from .pilco_alg import PILCOAlgorithm
-from .hmc import HMCAlgorithm, HMCInference, potential_scale_reduction
+from .hmc import (HMCAlgorithm, HMCInference,
+    potential_scale_reduction, effective_sample_size)
 from .natural_gradient import NaturalGradientLoop, \
     NaturalGradientMinibatchLoop
 from .laplace import laplace_approximation, LaplaceResult

@@ -31,6 +31,35 @@ def _per_chain_sum(x):
     return jnp.sum(x.reshape((x.shape[0], -1)), axis=-1)
 
 
+def effective_sample_size(samples, max_lag=None):
+    """ESS via the initial-monotone-sequence estimator (Geyer 1992)
+    over autocorrelations averaged across chains; samples (S, C, ...).
+    """
+    x = np.asarray(samples)
+    S, C = x.shape[:2]
+    x = x.reshape(S, C, -1)
+    x = x - x.mean(axis=0, keepdims=True)
+    max_lag = min(S - 1, max_lag or S - 1)
+    var0 = (x ** 2).mean(axis=(0, 1))          # (D,)
+    var0 = np.where(var0 == 0, 1.0, var0)
+    rho = np.empty((max_lag + 1,) + var0.shape)
+    rho[0] = 1.0
+    for t in range(1, max_lag + 1):
+        rho[t] = (x[:-t] * x[t:]).mean(axis=(0, 1)) / var0
+    # sum paired autocorrelations while the pair sums stay positive
+    ess = np.empty_like(var0)
+    for d in range(var0.shape[0]):
+        s = 0.0
+        for t in range(1, max_lag, 2):
+            pair = rho[t, d] + rho[t + 1, d]
+            if pair <= 0:
+                break
+            s += pair
+        ess[d] = S * C / (1.0 + 2.0 * s)
+    shape = np.asarray(samples).shape[2:]
+    return ess.reshape(shape) if shape else float(ess[0])
+
+
 def potential_scale_reduction(samples):
     """Split R-hat (Gelman et al.) for samples shaped (S, C, ...)."""
     samples = jnp.asarray(samples)

@@ -158,3 +158,26 @@ def test_hmc_posterior_predictive():
     flat = yrep.reshape(yrep.shape[0], -1)
     assert abs(flat.mean() - post_mean) < 0.15
     assert np.isclose(flat.var(), s2 + post_var, rtol=0.15)
+
+
+def test_effective_sample_size_estimator():
+    from mxfusion_tpu.inference import effective_sample_size
+    rng = np.random.default_rng(7)
+    S, C = 2000, 4
+    # iid draws: ESS ~ S*C
+    iid = rng.standard_normal((S, C))
+    ess_iid = effective_sample_size(iid)
+    assert 0.6 * S * C < ess_iid < 1.4 * S * C, ess_iid
+    # AR(1) with rho=0.9: ESS ~ S*C * (1-rho)/(1+rho) ~ 0.053 * S*C
+    rho = 0.9
+    e = rng.standard_normal((S, C))
+    ar = np.zeros((S, C))
+    for t in range(1, S):
+        ar[t] = rho * ar[t - 1] + np.sqrt(1 - rho ** 2) * e[t]
+    ess_ar = effective_sample_size(ar)
+    expected = S * C * (1 - rho) / (1 + rho)
+    assert 0.5 * expected < ess_ar < 2.0 * expected, (ess_ar, expected)
+    assert ess_ar < 0.2 * ess_iid
+    # vector shape support
+    v = rng.standard_normal((500, 2, 3))
+    assert effective_sample_size(v).shape == (3,)
