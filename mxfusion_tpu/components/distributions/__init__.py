@@ -11,5 +11,9 @@ from .wishart import Wishart
 from .uniform import Uniform
 from .laplace import Laplace
 from .pointmass import PointMass
+from .exponential import Exponential
+from .poisson import Poisson
+from .studentt import StudentT
+from .lognormal import LogNormal
 from .gp import GaussianProcess, ConditionalGaussianProcess
 from .gp import kernels as gp_kernels

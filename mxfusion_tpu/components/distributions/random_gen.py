@@ -58,6 +58,23 @@ class RandomGenerator:
                                maxval=0.5)
         return location - scale * jnp.sign(u) * jnp.log1p(-2.0 * jnp.abs(u))
 
+    def sample_exponential(self, key, rate=1.0, shape=None, dtype=None):
+        dtype = as_jnp_dtype(dtype)
+        e = jax.random.exponential(key, shape, dtype=dtype)
+        return e / rate
+
+    def sample_poisson(self, key, rate=1.0, shape=None, dtype=None):
+        dtype = as_jnp_dtype(dtype)
+        lam = jnp.broadcast_to(jnp.asarray(rate), shape)
+        return jax.random.poisson(key, lam, shape=shape).astype(dtype)
+
+    def sample_studentt(self, key, degrees_of_freedom, location=0.0,
+                        scale=1.0, shape=None, dtype=None):
+        dtype = as_jnp_dtype(dtype)
+        t = jax.random.t(key, jnp.asarray(degrees_of_freedom, dtype=dtype),
+                         shape=shape, dtype=dtype)
+        return location + scale * t
+
 
 class FixedRandomGenerator(RandomGenerator):
     """Deterministic test double returning pre-seeded samples.
@@ -101,6 +118,16 @@ class FixedRandomGenerator(RandomGenerator):
 
     def sample_laplace(self, key, location=0.0, scale=1.0, shape=None,
                        dtype=None):
+        return location + scale * self._next(shape, dtype)
+
+    def sample_exponential(self, key, rate=1.0, shape=None, dtype=None):
+        return self._next(shape, dtype) / rate
+
+    def sample_poisson(self, key, rate=1.0, shape=None, dtype=None):
+        return self._next(shape, dtype)
+
+    def sample_studentt(self, key, degrees_of_freedom, location=0.0,
+                        scale=1.0, shape=None, dtype=None):
         return location + scale * self._next(shape, dtype)
 
 
