@@ -233,9 +233,13 @@ def create_executor(algorithm, params, rv_scaling=None, remat=False):
     return executor
 
 
-def create_sampling_executor(algorithm, params):
-    """Executor variant for SamplingAlgorithms: returns compute's output."""
-    build_env = _make_env_builder(algorithm, params)
+def create_sampling_executor(algorithm, params, rv_scaling=None):
+    """Executor variant for SamplingAlgorithms: returns compute's output.
+
+    ``rv_scaling`` rescales the generating factors' log-pdfs exactly as
+    in :func:`create_executor` — used by minibatch samplers (SGLD) whose
+    stochastic gradients need the N/B likelihood correction."""
+    build_env = _make_env_builder(algorithm, params, rv_scaling=rv_scaling)
 
     def executor(trainable, fixed, data_list, key):
         env = build_env(trainable, fixed, data_list)
