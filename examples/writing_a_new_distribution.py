@@ -1,9 +1,10 @@
 """Writing a new distribution.
 
 Counterpart of /root/reference/examples/notebooks/
-writing_a_new_distribution.ipynb: implement an Exponential distribution
+writing_a_new_distribution.ipynb: implement a Gumbel distribution
 (log-pdf + reparameterized sampling via inverse CDF) and use it in a
-model end-to-end.
+model end-to-end. (The notebook's original exercise — an Exponential —
+now ships in the library: mxfusion_tpu.components.distributions.)
 """
 import os
 import numpy as np
@@ -20,49 +21,58 @@ SMOKE = bool(os.environ.get("MXF_SMOKE"))
 MAX_ITER = 30 if SMOKE else 400
 
 
-class Exponential(UnivariateDistribution):
-    """Exponential(rate): log p(x) = log(rate) - rate*x for x >= 0."""
+class Gumbel(UnivariateDistribution):
+    """Gumbel(location, scale):
+    log p(x) = -z - exp(-z) - log(scale), z = (x - location)/scale."""
 
-    def __init__(self, rate, rand_gen=None, dtype=None):
+    def __init__(self, location, scale, rand_gen=None, dtype=None):
         super().__init__(
-            inputs=[("rate", rate)], outputs=None,
-            input_names=["rate"], output_names=["random_variable"],
+            inputs=[("location", location), ("scale", scale)], outputs=None,
+            input_names=["location", "scale"],
+            output_names=["random_variable"],
             rand_gen=rand_gen, dtype=dtype)
 
-    def log_pdf_impl(self, random_variable, rate):
-        return jnp.log(rate) - rate * random_variable
+    def log_pdf_impl(self, random_variable, location, scale):
+        z = (random_variable - location) / scale
+        return -z - jnp.exp(-z) - jnp.log(scale)
 
-    def draw_samples_impl(self, rv_shape, num_samples, key, rate):
+    def draw_samples_impl(self, rv_shape, num_samples, key, location, scale):
         u = self._rand_gen.sample_uniform(
             key, shape=(num_samples,) + rv_shape, dtype=self.dtype)
-        return -jnp.log1p(-u) / rate   # inverse CDF, reparameterized
+        # inverse CDF, reparameterized: gradients flow to location/scale
+        return location - scale * jnp.log(-jnp.log(u))
 
     @classmethod
-    def define_variable(cls, rate=1., shape=None, rand_gen=None,
-                        dtype=None):
-        dist = cls(rate=rate, rand_gen=rand_gen, dtype=dtype)
+    def define_variable(cls, location=0., scale=1., shape=None,
+                        rand_gen=None, dtype=None):
+        dist = cls(location=location, scale=scale, rand_gen=rand_gen,
+                   dtype=dtype)
         dist._generate_outputs(shape=shape)
         return dist.random_variable
 
 
 def main():
     rng = np.random.default_rng(0)
-    true_rate = 2.5
-    y = rng.exponential(1.0 / true_rate, (200, 1))
+    true_loc, true_scale = 1.5, 0.8
+    y = rng.gumbel(true_loc, true_scale, (400, 1))
 
     m = Model()
-    m.rate = Variable(transformation=PositiveTransformation(),
-                      initial_value=1.0)
+    m.loc = Variable(initial_value=0.0)
+    m.scale = Variable(transformation=PositiveTransformation(),
+                       initial_value=1.0)
     from mxfusion_tpu.components.functions.operators import broadcast_to
-    m.y = Exponential.define_variable(
-        rate=broadcast_to(m.rate, (200, 1)), shape=(200, 1))
+    m.y = Gumbel.define_variable(
+        location=broadcast_to(m.loc, (400, 1)),
+        scale=broadcast_to(m.scale, (400, 1)), shape=(400, 1))
 
     infr = GradBasedInference(
         inference_algorithm=MAP(model=m, observed=[m.y]))
     infr.run(max_iter=MAX_ITER, learning_rate=0.1, y=y)
-    rate_hat = float(np.asarray(infr.params[m.rate]).ravel()[0])
-    print("MLE rate: {:.3f} (true {})".format(rate_hat, true_rate))
-    return rate_hat
+    loc_hat = float(np.asarray(infr.params[m.loc]).ravel()[0])
+    scale_hat = float(np.asarray(infr.params[m.scale]).ravel()[0])
+    print("MLE location: {:.3f} (true {})".format(loc_hat, true_loc))
+    print("MLE scale:    {:.3f} (true {})".format(scale_hat, true_scale))
+    return loc_hat
 
 
 if __name__ == "__main__":

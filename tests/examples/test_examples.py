@@ -19,6 +19,7 @@ EXAMPLES = [
     "svgp_large_scale.py",
     "hmc_regression.py",
     "svgp_natural_gradient.py",
+    "sgld_bnn_minibatch.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
