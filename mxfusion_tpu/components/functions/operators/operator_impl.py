@@ -73,6 +73,14 @@ def exp(data):
     return jnp.exp(data)
 
 
+@operator_definition(name="sigmoid", args=["data"], inputs=["data"])
+def sigmoid(data):
+    # beyond the reference op set: logistic link for classification
+    # likelihoods (numerically stable via jax.nn)
+    import jax.nn
+    return jax.nn.sigmoid(data)
+
+
 @operator_definition(name="log", args=["data"], inputs=["data"])
 def log(data):
     return jnp.log(data)

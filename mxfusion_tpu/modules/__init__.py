@@ -1,2 +1,3 @@
 from .module import Module
-from .gp_modules import GPRegression, SparseGPRegression, SVGPRegression
+from .gp_modules import (GPRegression, SparseGPRegression,
+                         SVGPRegression, SVGPClassification)

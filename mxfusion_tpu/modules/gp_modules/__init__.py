@@ -1,3 +1,4 @@
 from .gp_regression import GPRegression
 from .sparsegp_regression import SparseGPRegression
 from .svgp_regression import SVGPRegression
+from .svgp_classification import SVGPClassification
