@@ -20,6 +20,7 @@ EXAMPLES = [
     "hmc_regression.py",
     "svgp_natural_gradient.py",
     "sgld_bnn_minibatch.py",
+    "svgp_classification.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
