@@ -10,7 +10,8 @@ from .minibatch_loop import MinibatchInferenceLoop
 from .device_loop import DeviceMinibatchLoop
 from .variational import (
     VariationalInference, VariationalSamplingAlgorithm,
-    StochasticVariationalInference)
+    StochasticVariationalInference,
+    ImportanceWeightedVariationalInference)
 from .meanfield import create_Gaussian_meanfield
 from .map import MAP
 from .score_function import ScoreFunctionInference, ScoreFunctionRBInference
