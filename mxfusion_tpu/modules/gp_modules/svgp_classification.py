@@ -37,7 +37,8 @@ from ...components.functions.operators import sigmoid
 from ...inference.variational import VariationalInference
 from ...inference.inference_alg import SamplingAlgorithm
 from ...inference.forward_sampling import ForwardSamplingAlgorithm
-from ...ops.linalg import make_diagonal, wide_triangular_solve
+from ...ops.linalg import (make_diagonal, wide_triangular_solve,
+                           triangular_inverse)
 from ...ops.precision import einsum as p_einsum
 
 
@@ -87,15 +88,28 @@ def _q_f_moments(env, model, posterior, jitter, whitened):
     Kff_diag = kern.Kdiag(X, **kern_params)
 
     S = p_einsum("...ik,...jk->...ij", S_W, S_W) + make_diagonal(S_diag)
-    L = jnp.linalg.cholesky(Kuu)
-    Ls = jnp.linalg.cholesky(S)
+    # one batched Cholesky for the two independent M×M factors (same
+    # latency fusion as the regression bound)
+    LL = jnp.linalg.cholesky(jnp.stack([Kuu, S], axis=-3))
+    L = LL[..., 0, :, :]
+    Ls = LL[..., 1, :, :]
+    wide = Kuf.shape[-1] >= 4 * M
+    Linv = triangular_inverse(L, lower=True) \
+        if (wide and not whitened) else None
     if whitened:
         LinvLs = Ls
         Linvmu = mu
+    elif Linv is not None:
+        LinvLs = p_einsum("...ij,...jk->...ik", Linv, Ls)
+        Linvmu = p_einsum("...ij,...jk->...ik", Linv, mu)
     else:
         LinvLs = jsl.solve_triangular(L, Ls, lower=True)
         Linvmu = jsl.solve_triangular(L, mu, lower=True)
-    LinvKuf = wide_triangular_solve(L, Kuf, lower=True)
+    if Linv is not None:
+        from ...ops.precision import data_einsum
+        LinvKuf = data_einsum("...ij,...jk->...ik", Linv, Kuf)
+    else:
+        LinvKuf = wide_triangular_solve(L, Kuf, lower=True)
 
     mu_f = p_einsum("...mn,...md->...nd", LinvKuf, Linvmu)[..., 0]
     if model.F.factor.has_mean:

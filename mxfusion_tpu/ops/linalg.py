@@ -57,6 +57,22 @@ def wide_triangular_solve(L, B, lower=True):
     return data_einsum("...ij,...jk->...ik", Linv, B)
 
 
+def triangular_inverse(L, lower=True):
+    """Explicit ``L⁻¹`` via one triangular solve against I (batched).
+
+    Used to FUSE several solves against the same triangle into matmuls:
+    on TPU each extra ``triangular_solve`` is a serial, latency-bound
+    kernel, while applying a materialized inverse rides the MXU and
+    fuses with neighbors. Same error model as the wide path of
+    :func:`wide_triangular_solve` (bounded by the ill-conditioning test
+    in tests/ops)."""
+    import jax.scipy.linalg as jsl
+    M = L.shape[-1]
+    eye = jnp.eye(M, dtype=L.dtype)
+    return jsl.solve_triangular(
+        L, jnp.broadcast_to(eye, L.shape[:-2] + (M, M)), lower=lower)
+
+
 def cholesky_logdet(A):
     """(L, logdet) for SPD A via one Cholesky (batched)."""
     L = jnp.linalg.cholesky(A)
