@@ -26,6 +26,7 @@ from .pilco_alg import PILCOAlgorithm
 from .hmc import (HMCAlgorithm, HMCInference,
     potential_scale_reduction, effective_sample_size)
 from .sgld import SGLDAlgorithm, SGLDInference
+from .svgd import SVGDAlgorithm, SVGDInference
 from .natural_gradient import NaturalGradientLoop, \
     NaturalGradientMinibatchLoop
 from .laplace import laplace_approximation, LaplaceResult
