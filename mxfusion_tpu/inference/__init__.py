@@ -27,6 +27,7 @@ from .hmc import (HMCAlgorithm, HMCInference,
     potential_scale_reduction, effective_sample_size)
 from .sgld import SGLDAlgorithm, SGLDInference
 from .svgd import SVGDAlgorithm, SVGDInference
+from .chees import ChEESHMCAlgorithm, ChEESHMCInference
 from .natural_gradient import NaturalGradientLoop, \
     NaturalGradientMinibatchLoop
 from .laplace import laplace_approximation, LaplaceResult
