@@ -12,6 +12,7 @@ from .uniform import Uniform
 from .laplace import Laplace
 from .pointmass import PointMass
 from .exponential import Exponential
+from .inverse_gamma import InverseGamma
 from .poisson import Poisson
 from .studentt import StudentT
 from .lognormal import LogNormal

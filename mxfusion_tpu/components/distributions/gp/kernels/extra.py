@@ -68,3 +68,39 @@ class Periodic(StationaryKernel):
     def _compute_Kdiag(self, X, lengthscale=None, variance=None,
                        period=None):
         return jnp.broadcast_to(variance, X.shape[:-1])
+
+
+class Polynomial(StationaryKernel):
+    """K = variance * (offset + x·x' / lengthscale²)^degree — the
+    standard inhomogeneous polynomial kernel; ``degree`` is a static
+    (non-trainable) integer."""
+
+    def __init__(self, input_dim, degree=2, ARD=False, variance=1.,
+                 lengthscale=1., offset=1., name="poly",
+                 active_dims=None, dtype=None):
+        super().__init__(input_dim=input_dim, ARD=ARD, variance=variance,
+                         lengthscale=lengthscale, name=name,
+                         active_dims=active_dims, dtype=dtype)
+        self.degree = int(degree)
+        self.offset = self._make_param(offset, (1,))
+
+    def _dot(self, X, X2, lengthscale):
+        ls = jnp.expand_dims(lengthscale, axis=-2)
+        Xs = X / ls
+        X2s = Xs if X2 is None else X2 / ls
+        from .....ops.precision import einsum as p_einsum
+        return p_einsum("...nd,...md->...nm", Xs, X2s)
+
+    def _compute_K(self, X, X2=None, lengthscale=None, variance=None,
+                   offset=None):
+        d = self._dot(X, X2, lengthscale)
+        v = jnp.expand_dims(variance, axis=-1)
+        o = jnp.expand_dims(offset, axis=-1)
+        return v * jnp.power(o + d, self.degree)
+
+    def _compute_Kdiag(self, X, lengthscale=None, variance=None,
+                       offset=None):
+        ls = jnp.expand_dims(lengthscale, axis=-2)
+        Xs = X / ls
+        d = jnp.sum(Xs * Xs, axis=-1)
+        return variance * jnp.power(offset + d, self.degree)

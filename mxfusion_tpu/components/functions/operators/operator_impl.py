@@ -81,6 +81,24 @@ def sigmoid(data):
     return jax.nn.sigmoid(data)
 
 
+@operator_definition(name="tanh", args=["data"], inputs=["data"])
+def tanh(data):
+    return jnp.tanh(data)
+
+
+@operator_definition(name="softplus", args=["data"], inputs=["data"])
+def softplus(data):
+    import jax.nn
+    return jax.nn.softplus(data)
+
+
+@operator_definition(name="probit", args=["data"], inputs=["data"])
+def probit(data):
+    """Standard-normal CDF (the probit link)."""
+    from jax.scipy.special import ndtr
+    return ndtr(data)
+
+
 @operator_definition(name="log", args=["data"], inputs=["data"])
 def log(data):
     return jnp.log(data)

@@ -33,7 +33,7 @@ from ...components.distributions.bernoulli import Bernoulli
 from ...components.distributions.gp.gp import GaussianProcess
 from ...components.distributions.gp.cond_gp import \
     ConditionalGaussianProcess
-from ...components.functions.operators import sigmoid
+from ...components.functions.operators import sigmoid, probit
 from ...inference.variational import VariationalInference
 from ...inference.inference_alg import SamplingAlgorithm
 from ...inference.forward_sampling import ForwardSamplingAlgorithm
@@ -123,19 +123,22 @@ def _q_f_moments(env, model, posterior, jitter, whitened):
 
 
 class SVGPClassificationLogPdf(VariationalInference):
-    """Quadrature ELBO: Σ_n E_{q(f_n)}[log Bern(y_n | σ(f_n))] − KL(q‖p).
+    """Quadrature ELBO: Σ_n E_{q(f_n)}[log Bern(y_n | link(f_n))] − KL.
 
-    Labels are {0, 1}; the integrand uses the stable
-    ``log_sigmoid((2y−1) f)`` identity."""
+    Labels are {0, 1}. ``link="logit"`` uses the stable
+    ``log_sigmoid((2y−1) f)`` identity; ``link="probit"`` uses
+    ``log Φ((2y−1) f)`` (norm.logcdf)."""
 
     def __init__(self, model, posterior, observed, jitter=0.0,
-                 whitened=False, num_quadrature_points=20):
+                 whitened=False, num_quadrature_points=20,
+                 link="logit"):
         super().__init__(num_samples=1, model=model, posterior=posterior,
                          observed=observed)
         self.log_pdf_scaling = 1.0
         self.jitter = jitter
         self.whitened = whitened
         self.num_quadrature_points = num_quadrature_points
+        self.link = link
 
     def compute(self, env, ctx):
         Y = env[self.model.Y]
@@ -154,8 +157,12 @@ class SVGPClassificationLogPdf(VariationalInference):
         # drives var_f slightly negative (whitened training gets there)
         var_safe = jnp.maximum(var_f, _VAR_FLOOR)
         f = mu_f[..., None] + jnp.sqrt(2.0 * var_safe)[..., None] * t
-        quad = jnp.sum(jax.nn.log_sigmoid(sign[..., None] * f) * w,
-                       axis=-1)                              # (s, N)
+        if self.link == "probit":
+            from jax.scipy.stats import norm as _norm
+            log_lik = _norm.logcdf(sign[..., None] * f)
+        else:
+            log_lik = jax.nn.log_sigmoid(sign[..., None] * f)
+        quad = jnp.sum(log_lik * w, axis=-1)                 # (s, N)
         logL = jnp.sum(quad, axis=-1)
 
         # negative KL(q(U) || p(U)): same value as the regression
@@ -172,25 +179,33 @@ class SVGPClassificationLogPdf(VariationalInference):
 
 
 class SVGPClassificationProbPrediction(SamplingAlgorithm):
-    """Predictive class-1 probability by quadrature of the link:
-    p(y*=1) = E_{q(f*)}[σ(f*)]. Returns {Y: (p, p(1−p))}."""
+    """Predictive class-1 probability p(y*=1) = E_{q(f*)}[link(f*)]:
+    quadrature for the logit link, CLOSED FORM Φ(μ/√(1+σ²)) for the
+    probit link. Returns {Y: (p, p(1−p))}."""
 
     def __init__(self, model, posterior, observed, jitter=0.0,
-                 whitened=False, num_quadrature_points=20):
+                 whitened=False, num_quadrature_points=20,
+                 link="logit"):
         super().__init__(model=model, observed=observed,
                          extra_graphs=[posterior])
         self.jitter = jitter
         self.whitened = whitened
         self.num_quadrature_points = num_quadrature_points
+        self.link = link
 
     def compute(self, env, ctx):
         posterior = self._extra_graphs[0]
         mu_f, var_f, _, _ = _q_f_moments(
             env, self.model, posterior, self.jitter, self.whitened)
-        t, w = _gauss_hermite(self.num_quadrature_points, mu_f.dtype)
-        f = mu_f[..., None] + \
-            jnp.sqrt(2.0 * jnp.maximum(var_f, _VAR_FLOOR))[..., None] * t
-        p = jnp.sum(jax.nn.sigmoid(f) * w, axis=-1)[..., None]  # (s,N,1)
+        var_safe = jnp.maximum(var_f, _VAR_FLOOR)
+        if self.link == "probit":
+            from jax.scipy.special import ndtr
+            p = ndtr(mu_f / jnp.sqrt(1.0 + var_safe))[..., None]
+        else:
+            t, w = _gauss_hermite(self.num_quadrature_points,
+                                  mu_f.dtype)
+            f = mu_f[..., None] + jnp.sqrt(2.0 * var_safe)[..., None] * t
+            p = jnp.sum(jax.nn.sigmoid(f) * w, axis=-1)[..., None]
         outcomes = {self.model.Y.uuid: (p, p * (1.0 - p))}
         if self.target_variables:
             return tuple(outcomes[v] for v in self.target_variables)
@@ -204,10 +219,14 @@ class SVGPClassification(Module):
 
     def __init__(self, X, kernel, inducing_inputs=None, num_inducing=10,
                  mean=None, rand_gen=None, dtype=None, jitter=1e-5,
-                 whitened=False, num_quadrature_points=20):
+                 whitened=False, num_quadrature_points=20, link="logit"):
+        if link not in ("logit", "probit"):
+            raise ValueError("link must be 'logit' or 'probit', got "
+                             "{!r}".format(link))
         self.jitter = jitter
         self.whitened = whitened
         self.num_quadrature_points = num_quadrature_points
+        self.link = link
         if not isinstance(X, Variable):
             X = Variable(value=X)
         if inducing_inputs is None:
@@ -259,7 +278,8 @@ class SVGPClassification(Module):
             X=graph.X, X_cond=graph.inducing_inputs, Y_cond=graph.U,
             kernel=self.kernel, shape=Y.shape, mean=mean,
             rand_gen=self._rand_gen, dtype=self.dtype)
-        graph.p = sigmoid(graph.F)
+        graph.p = sigmoid(graph.F) if self.link == "logit" \
+            else probit(graph.F)
         graph.Y = Y.replicate_self()
         graph.Y.set_prior(Bernoulli(
             prob_true=graph.p, rand_gen=self._rand_gen, dtype=self.dtype))
@@ -280,7 +300,8 @@ class SVGPClassification(Module):
             algorithm=SVGPClassificationLogPdf(
                 self._module_graph, self._extra_graphs[0], observed,
                 jitter=self.jitter, whitened=self.whitened,
-                num_quadrature_points=self.num_quadrature_points),
+                num_quadrature_points=self.num_quadrature_points,
+                link=self.link),
             alg_name="svgp_class_log_pdf")
         observed = [v for _, v in self.inputs]
         self.attach_draw_samples_algorithms(
@@ -293,19 +314,20 @@ class SVGPClassification(Module):
             algorithm=SVGPClassificationProbPrediction(
                 self._module_graph, self._extra_graphs[0], observed,
                 jitter=self.jitter, whitened=self.whitened,
-                num_quadrature_points=self.num_quadrature_points),
+                num_quadrature_points=self.num_quadrature_points,
+                link=self.link),
             alg_name="svgp_class_predict")
 
     @staticmethod
     def define_variable(X, kernel, shape=None, inducing_inputs=None,
                         num_inducing=10, mean=None, rand_gen=None,
                         dtype=None, jitter=1e-5, whitened=False,
-                        num_quadrature_points=20):
+                        num_quadrature_points=20, link="logit"):
         gp = SVGPClassification(
             X=X, kernel=kernel, inducing_inputs=inducing_inputs,
             num_inducing=num_inducing, mean=mean, rand_gen=rand_gen,
             dtype=dtype, jitter=jitter, whitened=whitened,
-            num_quadrature_points=num_quadrature_points)
+            num_quadrature_points=num_quadrature_points, link=link)
         gp._generate_outputs({"random_variable": shape})
         return gp.random_variable
 
@@ -318,4 +340,5 @@ class SVGPClassification(Module):
         rep.jitter = self.jitter
         rep.whitened = self.whitened
         rep.num_quadrature_points = self.num_quadrature_points
+        rep.link = self.link
         return rep
