@@ -21,7 +21,8 @@ from .forward_sampling import (
 from .expectation import (
     ExpectationAlgorithm, ExpectationScoreFunctionAlgorithm)
 from .prediction import ModulePredictionAlgorithm
-from .serving import BatchedPredictor
+from .serving import (BatchedPredictor, ExportedPredictor,
+                      load_exported_predictor)
 from .pilco_alg import PILCOAlgorithm
 from .hmc import (HMCAlgorithm, HMCInference,
     potential_scale_reduction, effective_sample_size)

@@ -93,3 +93,45 @@ def test_batched_predictor_svgp():
                                atol=1e-7)
     np.testing.assert_allclose(var_b, np.asarray(var_full), rtol=1e-4,
                                atol=1e-7)
+
+
+def test_export_and_load_predictor_roundtrip(tmp_path):
+    """AOT artifact: export the compiled predictor, reload WITHOUT the
+    model graph, predictions must match exactly."""
+    from mxfusion_tpu.inference import load_exported_predictor
+    rng = np.random.default_rng(3)
+    m, infr = _trained_gp(rng)
+    Xt = np.linspace(0, 4, 37)[:, None]
+
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=16)
+    mu_live, var_live = pred.predict(X=Xt)[0]
+
+    path = str(tmp_path / "predictor.zip")
+    pred.export(path)
+    served = load_exported_predictor(path)
+    mu_srv, var_srv = served.predict(X=Xt)[0]
+    np.testing.assert_allclose(np.asarray(mu_srv),
+                               np.asarray(mu_live), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_srv),
+                               np.asarray(var_live), rtol=1e-6)
+
+
+def test_export_before_predict_needs_example(tmp_path):
+    import pytest as _pytest
+    rng = np.random.default_rng(4)
+    m, infr = _trained_gp(rng)
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=8)
+    path = str(tmp_path / "p.zip")
+    with _pytest.raises(ValueError):
+        pred.export(path)
+    # with example data it compiles then exports
+    Xt = np.linspace(0, 4, 20)[:, None]
+    pred.export(path, X=Xt)
+    from mxfusion_tpu.inference import load_exported_predictor
+    served = load_exported_predictor(path)
+    mu, var = served.predict(X=Xt)[0]
+    assert np.asarray(mu).shape[-2] == 20
