@@ -13,6 +13,7 @@ from .laplace import Laplace
 from .pointmass import PointMass
 from .exponential import Exponential
 from .inverse_gamma import InverseGamma
+from .mixture import NormalMixture
 from .poisson import Poisson
 from .studentt import StudentT
 from .lognormal import LogNormal
