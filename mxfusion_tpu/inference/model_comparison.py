@@ -1,0 +1,171 @@
+"""Model comparison from posterior samples: WAIC and PSIS-LOO.
+
+No reference counterpart (amzn/MXFusion has no model-criticism tier).
+Standard definitions (Vehtari, Gelman & Gabry 2017): both start from
+the pointwise log-likelihood matrix ``loglik[s, n] = log p(y_n | θ_s)``
+over S posterior draws — computed here in ONE batched density
+evaluation with the draws on the framework's sample axis.
+
+``waic``: elpd ≈ Σ_n [logmeanexp_s loglik - Var_s loglik].
+``loo_psis``: leave-one-out elpd via Pareto-smoothed importance
+sampling (raw weights 1/p(y_n|θ_s); the largest 20% replaced by
+generalized-Pareto quantiles, Zhang & Stephens 2009 fit), with the
+per-point Pareto-k diagnostic.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from .inference_alg import SamplingAlgorithm, create_sampling_executor
+from ..common.exceptions import InferenceError
+
+
+def pointwise_log_likelihood(infr, samples=None, key=None, **data):
+    """Per-datapoint log-likelihoods under stored posterior draws.
+
+    Parameters
+    ----------
+    infr : HMCInference / SGLDInference / any Inference whose
+        ``_samples`` hold {uuid: (S, C, *event)} draws (or pass
+        ``samples`` explicitly).
+    data : the observed data arrays by variable name (as in ``run``).
+
+    Returns {observed_name: (S*C, N)} numpy arrays — the likelihood
+    factor's log-density summed over trailing event dims, the leading
+    data axis kept.
+    """
+    import jax
+    alg = infr._algorithm
+    if samples is None:
+        samples = getattr(infr, "_samples", None)
+    if samples is None:
+        raise InferenceError("run() the sampler first (or pass "
+                             "samples=...).")
+    flat = {u: jnp.reshape(jnp.asarray(a), (-1,) + tuple(a.shape[2:]))
+            for u, a in samples.items()}
+    S = list(flat.values())[0].shape[0]
+    model = alg.model
+    observed = [v for v in alg.observed_variables if v.name in data]
+    if not observed:
+        raise InferenceError(
+            "pass the observed data arrays by name, e.g. y=y.")
+    from ..modules.module import Module
+
+    class _Pointwise(SamplingAlgorithm):
+        def compute(self, env, ctx):
+            env = dict(env)
+            env.update(flat)
+            # deterministic factors upstream must evaluate first
+            model.log_pdf_terms(env, ctx=ctx)
+            out = {}
+            for v in observed:
+                f = v.factor
+                if isinstance(f, Module):
+                    raise InferenceError(
+                        "pointwise_log_likelihood needs an explicit "
+                        "likelihood factor; Module-valued observations "
+                        "({}) marginalize internally.".format(v.name))
+                lp = f.log_pdf(env)            # (S, N, *event)
+                lp = jnp.sum(lp.reshape(lp.shape[:2] + (-1,)), axis=-1)
+                out[v.name] = lp               # (S, N)
+            return out
+
+    pw = _Pointwise(model=model, observed=observed, num_samples=S)
+    executor = create_sampling_executor(pw, infr.params)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    data_list = [np.asarray(data[v.name]) for v in observed]
+    out = executor(infr.params.trainable_params(),
+                   infr.params.fixed_params(), data_list, key)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _logmeanexp(a, axis=0):
+    m = a.max(axis=axis)
+    return m + np.log(np.mean(np.exp(a - m), axis=axis))
+
+
+def waic(loglik):
+    """Widely applicable information criterion.
+
+    ``loglik``: (S, N). Returns dict with ``elpd_waic``, ``p_waic``,
+    ``se`` (standard error over data points), ``pointwise``.
+    """
+    loglik = np.asarray(loglik)
+    lppd_i = _logmeanexp(loglik, axis=0)
+    p_i = loglik.var(axis=0, ddof=1)
+    elpd_i = lppd_i - p_i
+    n = loglik.shape[1]
+    return {"elpd_waic": float(elpd_i.sum()),
+            "p_waic": float(p_i.sum()),
+            "se": float(np.sqrt(n * elpd_i.var(ddof=1))),
+            "pointwise": elpd_i}
+
+
+def _gpd_fit(x):
+    """Generalized-Pareto (k, sigma) fit (Zhang & Stephens 2009) to
+    exceedances x > 0, as used by PSIS."""
+    x = np.sort(np.asarray(x))
+    n = len(x)
+    if n < 5:
+        return 0.5, x.mean() + 1e-12
+    prior_bs = 3.0
+    m_est = 30 + int(np.sqrt(n))
+    b = 1.0 - np.sqrt(m_est / (np.arange(1, m_est + 1) - 0.5))
+    b = b / (prior_bs * x[int(n / 4 + 0.5) - 1]) + 1.0 / x[-1]
+    k = -np.mean(np.log1p(-b[:, None] * x[None, :]), axis=1)
+    l_b = n * (np.log(b / k) + k - 1.0)
+    w = 1.0 / np.array([np.sum(np.exp(l_b - l_b[i])) for i in
+                        range(m_est)])
+    b_post = np.sum(b * w)
+    k_post = -np.mean(np.log1p(-b_post * x))
+    sigma = k_post / b_post
+    return k_post, sigma
+
+
+def _gpd_quantiles(p, k, sigma):
+    if abs(k) < 1e-12:
+        return -sigma * np.log1p(-p)
+    return sigma * (np.expm1(-k * np.log1p(-p)) / -k)
+
+
+def loo_psis(loglik):
+    """PSIS-LOO: Pareto-smoothed importance-sampling leave-one-out.
+
+    ``loglik``: (S, N). Returns dict with ``elpd_loo``, ``p_loo``,
+    ``se``, ``pareto_k`` (per-point diagnostic; k > 0.7 flags
+    unreliable points), ``pointwise``.
+    """
+    def logsumexp(a):
+        m = a.max()
+        return m + np.log(np.sum(np.exp(a - m)))
+
+    loglik = np.asarray(loglik)
+    S, N = loglik.shape
+    logw = -loglik                       # raw IS log-weights
+    logw = logw - logw.max(axis=0)
+    elpd_i = np.empty(N)
+    ks = np.empty(N)
+    M = int(min(0.2 * S, 3 * np.sqrt(S)))
+    for n in range(N):
+        lw = logw[:, n].copy()
+        order = np.argsort(lw)
+        tail = order[-M:]
+        cutoff = np.exp(lw[order[-M - 1]])
+        exceed = np.exp(lw[tail]) - cutoff
+        k, sigma = _gpd_fit(exceed)
+        ks[n] = k
+        if np.isfinite(k):
+            # replace the tail by GPD quantiles (smoothing), keep order
+            p = (np.arange(1, M + 1) - 0.5) / M
+            smoothed = cutoff + _gpd_quantiles(p, k, sigma)
+            lw[tail] = np.log(np.maximum(smoothed, 1e-300))
+            # PSIS truncation at the raw maximum
+            lw = np.minimum(lw, logw[:, n].max())
+        lw = lw - logsumexp(lw)          # normalized log-weights
+        elpd_i[n] = logsumexp(lw + loglik[:, n])
+    lppd_i = _logmeanexp(loglik, axis=0)
+    return {"elpd_loo": float(elpd_i.sum()),
+            "p_loo": float((lppd_i - elpd_i).sum()),
+            "se": float(np.sqrt(N * elpd_i.var(ddof=1))),
+            "pareto_k": ks,
+            "pointwise": elpd_i}

@@ -1,0 +1,76 @@
+"""WAIC / PSIS-LOO model-comparison tests (beyond-reference).
+
+Oracle tier: the pointwise log-likelihood matrix is checked against a
+direct numpy recomputation from the SAME posterior draws; WAIC on a
+hand-made matrix matches the definition exactly. Behavior tier: both
+criteria prefer the correctly specified model."""
+import numpy as np
+import jax
+from scipy import stats
+
+from mxfusion_tpu import Model, Variable
+from mxfusion_tpu.components.distributions import Normal
+from mxfusion_tpu.components.functions.operators import broadcast_to
+from mxfusion_tpu.inference import (HMCAlgorithm, HMCInference,
+                                    pointwise_log_likelihood, waic,
+                                    loo_psis)
+
+N = 60
+
+
+def _fit(y, lik_var):
+    m = Model()
+    m.mu = Normal.define_variable(mean=0., variance=100., shape=(1,))
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (N, 1)),
+                                 variance=broadcast_to(
+                                     Variable(value=lik_var), (N, 1)),
+                                 shape=(N, 1))
+    alg = HMCAlgorithm(model=m, observed=[m.y], num_samples=250,
+                       num_warmup=200, num_chains=4, num_leapfrog=8)
+    infr = HMCInference(inference_algorithm=alg)
+    infr.run(y=y, key=jax.random.PRNGKey(0))
+    return m, infr
+
+
+def test_pointwise_loglik_matches_numpy():
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((N, 1)) * 1.5 + 2.0
+    m, infr = _fit(y, 2.25)
+    ll = pointwise_log_likelihood(infr, y=y)["y"]
+    draws = np.asarray(infr._samples[m.mu.uuid]).reshape(-1)
+    assert ll.shape == (draws.shape[0], N)
+    expected = stats.norm.logpdf(y[:, 0][None, :], draws[:, None],
+                                 1.5)
+    np.testing.assert_allclose(ll, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_waic_definition_on_fixed_matrix():
+    rng = np.random.default_rng(1)
+    ll = rng.standard_normal((40, 7)) * 0.3 - 1.0
+    out = waic(ll)
+    lppd = np.log(np.mean(np.exp(ll), axis=0))
+    p = ll.var(axis=0, ddof=1)
+    assert np.isclose(out["elpd_waic"], (lppd - p).sum(), rtol=1e-10)
+    assert np.isclose(out["p_waic"], p.sum(), rtol=1e-10)
+    assert out["pointwise"].shape == (7,)
+
+
+def test_waic_and_loo_prefer_correct_model():
+    rng = np.random.default_rng(2)
+    y = rng.standard_normal((N, 1)) * 1.0 + 2.0   # true var = 1
+    _, infr_good = _fit(y, 1.0)
+    _, infr_bad = _fit(y, 25.0)                    # wildly wrong var
+    ll_good = pointwise_log_likelihood(infr_good, y=y)["y"]
+    ll_bad = pointwise_log_likelihood(infr_bad, y=y)["y"]
+
+    w_good, w_bad = waic(ll_good), waic(ll_bad)
+    assert w_good["elpd_waic"] > w_bad["elpd_waic"] + 10
+
+    l_good, l_bad = loo_psis(ll_good), loo_psis(ll_bad)
+    assert l_good["elpd_loo"] > l_bad["elpd_loo"] + 10
+    # a one-parameter model: effective parameter counts near 1, and
+    # WAIC ~ LOO on a well-specified model
+    assert 0.2 < w_good["p_waic"] < 3.0
+    assert abs(l_good["elpd_loo"] - w_good["elpd_waic"]) < 2.0
+    # healthy importance weights for the good model
+    assert np.mean(l_good["pareto_k"] < 0.7) > 0.9
