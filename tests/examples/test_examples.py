@@ -21,6 +21,8 @@ EXAMPLES = [
     "svgp_natural_gradient.py",
     "sgld_bnn_minibatch.py",
     "svgp_classification.py",
+    "gmm_mixture.py",
+    "model_comparison.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
