@@ -1,0 +1,104 @@
+"""MCMC throughput on the real TPU: SGLD and HMC chain steps/sec.
+
+Workload: Bayesian linear regression, N=100k x D=32 (SGLD: B=1024
+minibatch; HMC: full-data gradient), 8 chains vectorized on the sample
+axis, whole chain one XLA program. Honest-timing protocol (CLAUDE.md):
+enqueue the chain, fetch one dependent scalar, amortize.
+
+Usage: python benchmarks/mcmc_throughput.py
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mxfusion_tpu import Model, Variable
+    from mxfusion_tpu.components.distributions import Normal
+    from mxfusion_tpu.components.functions.operators import (
+        broadcast_to, dot)
+    from mxfusion_tpu.inference import (SGLDAlgorithm, SGLDInference,
+                                        HMCAlgorithm, HMCInference)
+
+    N, D, B, CHAINS = 100_000, 32, 1024, 8
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((N, D)).astype(np.float32)
+    w_true = rng.standard_normal((D, 1)).astype(np.float32)
+    y = (X @ w_true + 0.5 * rng.standard_normal((N, 1))).astype(
+        np.float32)
+
+    def build(symbolic):
+        m = Model()
+        if symbolic:
+            m.n = Variable()
+            n = m.n
+        else:
+            n = N
+        m.X = Variable(shape=(n, D))
+        m.w = Normal.define_variable(
+            mean=broadcast_to(Variable(value=0.), (D, 1)),
+            variance=broadcast_to(Variable(value=1.), (D, 1)),
+            shape=(D, 1))
+        m.f = dot(m.X, m.w)
+        m.y = Normal.define_variable(
+            mean=m.f, variance=broadcast_to(Variable(value=0.25),
+                                            (n, 1)),
+            shape=(n, 1))
+        return m
+
+    # ---- SGLD minibatch
+    steps = 20_000
+    m = build(True)
+    alg = SGLDAlgorithm(model=m, observed=[m.X, m.y],
+                        num_samples=steps, num_burnin=0, num_chains=CHAINS,
+                        batch_size=B, step_size=1e-5,
+                        step_decay_gamma=0.0)
+    infr = SGLDInference(inference_algorithm=alg)
+    t0 = time.perf_counter()
+    samples = infr.run(X=X, y=y, key=jax.random.PRNGKey(0))
+    w_draws = samples[m.w.uuid]
+    float(jnp.asarray(w_draws).reshape(-1)[0])
+    total = time.perf_counter() - t0
+    # second run: compile cached, honest steady-state number
+    t0 = time.perf_counter()
+    samples = infr.run(X=X, y=y, key=jax.random.PRNGKey(1))
+    float(jnp.asarray(samples[m.w.uuid]).reshape(-1)[0])
+    run_t = time.perf_counter() - t0
+    print("SGLD  (N=100k, B=%d, D=%d, %d chains): %d steps in %.2f s "
+          "= %.0f chain-steps/s (%.1f us/step; first run incl. "
+          "compile %.1f s)" % (B, D, CHAINS, steps, run_t,
+                               steps / run_t, run_t / steps * 1e6,
+                               total))
+
+    # ---- HMC full-data
+    hmc_samples, leap = 2_000, 8
+    m2 = build(False)
+    alg2 = HMCAlgorithm(model=m2, observed=[m2.X, m2.y],
+                        num_samples=hmc_samples, num_warmup=200,
+                        num_chains=CHAINS, num_leapfrog=leap,
+                        step_size=0.01)
+    infr2 = HMCInference(inference_algorithm=alg2)
+    t0 = time.perf_counter()
+    s2 = infr2.run(X=X, y=y, key=jax.random.PRNGKey(2))
+    float(jnp.asarray(s2[m2.w.uuid]).reshape(-1)[0])
+    total2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s2 = infr2.run(X=X, y=y, key=jax.random.PRNGKey(3))
+    float(jnp.asarray(s2[m2.w.uuid]).reshape(-1)[0])
+    run2 = time.perf_counter() - t0
+    grads = (hmc_samples + 200) * (leap + 1)
+    print("HMC   (N=100k full-data, D=%d, %d chains, L=%d): %d kept "
+          "draws in %.2f s = %.0f draws/s; %.0f full-data gradient "
+          "evals/s (first run incl. compile %.1f s)" % (
+              D, CHAINS, leap, hmc_samples, run2, hmc_samples / run2,
+              grads / run2, total2))
+    print("accept:", infr2.diagnostics["accept_rate"].round(2))
+
+
+if __name__ == "__main__":
+    main()
