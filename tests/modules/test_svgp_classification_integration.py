@@ -101,3 +101,29 @@ def test_classification_save_load_roundtrip(tmp_path):
 
     assert np.allclose(prob(m1, infr1), prob(m2, infr2), rtol=1e-5,
                        atol=1e-6)
+
+
+def test_classification_device_loop_training():
+    """DeviceMinibatchLoop (whole epoch = one XLA program) drives the
+    classification ELBO like any other objective."""
+    from mxfusion_tpu.inference import DeviceMinibatchLoop
+    X, y = _data(seed=3, n=256)
+    m = _build(whitened=True)
+    loop = DeviceMinibatchLoop(batch_size=64,
+                               rv_scaling={m.Y: 256 / 64})
+    infr = GradBasedInference(MAP(model=m, observed=[m.X, m.Y]),
+                              grad_loop=loop)
+    losses = []
+    infr.run(X=X, Y=y, max_iter=30, learning_rate=0.05, verbose=False,
+             callback=lambda e, l: losses.append(float(np.asarray(l))))
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+
+    Xt = np.linspace(0.05, 3.95, 40)[:, None]
+    pred = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+        infr_params=infr.params)
+    p, _ = pred.run(X=Xt)[0]
+    p = np.asarray(p)[0, :, 0]
+    acc = ((p > 0.5) == (np.sin(2.0 * Xt[:, 0]) > 0)).mean()
+    assert acc > 0.75, acc
