@@ -23,6 +23,7 @@ EXAMPLES = [
     "svgp_classification.py",
     "gmm_mixture.py",
     "model_comparison.py",
+    "writing_a_new_module.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
