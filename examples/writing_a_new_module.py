@@ -54,7 +54,10 @@ class LinRegLogEvidence(InferenceAlgorithm):
         s2 = env[self.model.noise_var]
         X, Y, alpha, s2 = arrays_as_samples([X, Y, alpha, s2])
         n = X.shape[-2]
-        K = alpha[..., None] * jnp.einsum("...nd,...md->...nm", X, X) \
+        # Cholesky-feeding contraction: pin HIGHEST precision (on TPU
+        # a default bf16 matmul here can NaN the factorization)
+        from mxfusion_tpu.ops.precision import einsum as p_einsum
+        K = alpha[..., None] * p_einsum("...nd,...md->...nm", X, X) \
             + s2[..., None] * jnp.eye(n, dtype=X.dtype)
         L = jnp.linalg.cholesky(K)
         LinvY = jsl.solve_triangular(L, Y, lower=True)

@@ -28,7 +28,6 @@ import numpy as np
 from .inference import Inference
 from .inference_alg import SamplingAlgorithm
 from .hmc import HMCInference
-from ..common.exceptions import InferenceError
 
 
 class ChEESHMCAlgorithm(SamplingAlgorithm):
@@ -66,39 +65,23 @@ class ChEESHMCAlgorithm(SamplingAlgorithm):
         self.max_leapfrog = max_leapfrog
 
     def _latent_uuids(self):
-        latents = [v.uuid for v in self.model.get_latent_variables(
-            self.observed_variable_UUIDs)]
-        if not latents:
-            raise InferenceError("ChEES-HMC: the model has no latent "
-                                 "variables given the observed set.")
-        return latents
+        from .hmc import sampler_latent_uuids
+        return sampler_latent_uuids(self, "ChEES-HMC")
 
     def compute(self, env, ctx):
+        from .hmc import (init_chains_from_prior, sum_log_pdf_terms,
+                          _per_chain_sum as per_chain_sum)
         C = self.num_chains
         latent_uuids = self._latent_uuids()
-        init_env = dict(env)
-        drawn = self.model.draw_samples(init_env, ctx.next_key(),
-                                        num_samples=C)
-        q0 = {}
-        for u in latent_uuids:
-            a = drawn[u]
-            if a.shape[0] != C:
-                a = jnp.broadcast_to(a, (C,) + a.shape[1:])
-            q0[u] = a
+        q0 = init_chains_from_prior(self.model, env, ctx.next_key(),
+                                    latent_uuids, C)
         dtype = list(q0.values())[0].dtype
-
-        def per_chain_sum(x):
-            return jnp.sum(x.reshape((x.shape[0], -1)), axis=-1)
 
         def neg_logp(q):
             e = dict(env)
             e.update(q)
-            terms = self.model.log_pdf_terms(e, ctx=ctx)
-            tot = jnp.zeros((), dtype=dtype)
-            for t in terms:
-                t = t.astype(dtype)
-                tot = tot + (t if t.shape[0] != 1 else t[0])
-            return -tot
+            return -sum_log_pdf_terms(
+                self.model.log_pdf_terms(e, ctx=ctx), dtype)
 
         grad_U = jax.grad(lambda q: jnp.sum(neg_logp(q)))
 

@@ -31,6 +31,42 @@ def _per_chain_sum(x):
     return jnp.sum(x.reshape((x.shape[0], -1)), axis=-1)
 
 
+# --- shared sampler scaffolding (HMC / ChEES / SGLD / SVGD) -----------
+
+def sampler_latent_uuids(algorithm, name):
+    """The latent RANDVAR uuids a sampler targets; raises if none."""
+    latents = [v.uuid for v in algorithm.model.get_latent_variables(
+        algorithm.observed_variable_UUIDs)]
+    if not latents:
+        raise InferenceError("{}: the model has no latent variables "
+                             "given the observed set.".format(name))
+    return latents
+
+
+def init_chains_from_prior(model, env, key, latent_uuids, num_chains):
+    """Ancestral prior draws, broadcast to C entries on the sample
+    axis — the standard chain/particle initialization."""
+    drawn = model.draw_samples(dict(env), key, num_samples=num_chains)
+    q = {}
+    for u in latent_uuids:
+        a = drawn[u]
+        if a.shape[0] != num_chains:
+            a = jnp.broadcast_to(a, (num_chains,) + a.shape[1:])
+        q[u] = a
+    return q
+
+
+def sum_log_pdf_terms(terms, dtype):
+    """Per-chain total of log_pdf_terms: size-1 sample-axis terms
+    broadcast; everything cast to the latent dtype (observed-data
+    terms may be wider, e.g. float64 data against float32 chains)."""
+    tot = jnp.zeros((), dtype=dtype)
+    for t in terms:
+        t = t.astype(dtype)
+        tot = tot + (t if t.shape[0] != 1 else t[0])
+    return tot
+
+
 def effective_sample_size(samples, max_lag=None):
     """ESS via the initial-monotone-sequence estimator (Geyer 1992)
     over autocorrelations averaged across chains; samples (S, C, ...).
@@ -118,36 +154,22 @@ class HMCAlgorithm(SamplingAlgorithm):
 
     # ------------------------------------------------------------------
     def _latent_uuids(self):
-        latents = [v.uuid for v in self.model.get_latent_variables(
-            self.observed_variable_UUIDs)]
-        if not latents:
-            raise InferenceError("HMC: the model has no latent "
-                                 "variables given the observed set.")
-        return latents
+        return sampler_latent_uuids(self, "HMC")
 
     def compute(self, env, ctx):
         C = self.num_chains
         latent_uuids = self._latent_uuids()
 
         # chains initialized by ancestral prior draws (C on sample axis)
-        init_env = dict(env)
-        drawn = self.model.draw_samples(init_env, ctx.next_key(),
-                                        num_samples=C)
-        q0 = {}
-        for u in latent_uuids:
-            a = drawn[u]
-            if a.shape[0] != C:
-                a = jnp.broadcast_to(a, (C,) + a.shape[1:])
-            q0[u] = a
+        q0 = init_chains_from_prior(self.model, env, ctx.next_key(),
+                                    latent_uuids, C)
+        dtype0 = list(q0.values())[0].dtype
 
         def neg_logp(q):  # (C,) potential energy
             e = dict(env)
             e.update(q)
-            terms = self.model.log_pdf_terms(e, ctx=ctx)
-            tot = jnp.zeros((), dtype=list(q.values())[0].dtype)
-            for t in terms:
-                tot = tot + (t if t.shape[0] != 1 else t[0])
-            return -tot
+            return -sum_log_pdf_terms(
+                self.model.log_pdf_terms(e, ctx=ctx), dtype0)
 
         grad_U = jax.grad(lambda q: jnp.sum(neg_logp(q)))
 

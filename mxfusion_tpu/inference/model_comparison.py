@@ -54,8 +54,9 @@ def pointwise_log_likelihood(infr, samples=None, key=None, **data):
         def compute(self, env, ctx):
             env = dict(env)
             env.update(flat)
-            # deterministic factors upstream must evaluate first
-            model.log_pdf_terms(env, ctx=ctx)
+            # deterministic factors upstream must evaluate first;
+            # targets=[] skips every density term (pure env fill)
+            model.log_pdf_terms(env, targets=[], ctx=ctx)
             out = {}
             for v in observed:
                 f = v.factor
@@ -70,12 +71,28 @@ def pointwise_log_likelihood(infr, samples=None, key=None, **data):
             return out
 
     pw = _Pointwise(model=model, observed=observed, num_samples=S)
-    executor = create_sampling_executor(pw, infr.params)
     if key is None:
         key = jax.random.PRNGKey(0)
     data_list = [np.asarray(data[v.name]) for v in observed]
-    out = executor(infr.params.trainable_params(),
-                   infr.params.fixed_params(), data_list, key)
+    # a minibatch sampler (SGLD) leaves symbolic data dims bound to
+    # the BATCH size; re-bind them to the full evaluation shapes for
+    # this executor, then restore
+    from ..util.inference import discover_shape_constants
+    data_shapes = {v.uuid: tuple(np.shape(d))
+                   for v, d in zip(observed, data_list)}
+    rebound = discover_shape_constants(data_shapes, [model])
+    saved = {u: infr.params.constants.get(u) for u in rebound}
+    infr.params.constants.update(rebound)
+    try:
+        executor = create_sampling_executor(pw, infr.params)
+        out = executor(infr.params.trainable_params(),
+                       infr.params.fixed_params(), data_list, key)
+    finally:
+        for u, v in saved.items():
+            if v is None:
+                infr.params.constants.pop(u, None)
+            else:
+                infr.params.constants[u] = v
     return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -102,30 +119,37 @@ def waic(loglik):
 
 
 def _gpd_fit(x):
-    """Generalized-Pareto (k, sigma) fit (Zhang & Stephens 2009) to
-    exceedances x > 0, as used by PSIS."""
+    """Generalized-Pareto (xi, sigma) fit to exceedances x > 0 —
+    the Zhang & Stephens (2009) posterior-mean estimator in the
+    STANDARD xi convention (xi > 0 = heavy tail), with the weak
+    Vehtari-et-al. prior pulling xi toward 0.5 at tiny n."""
     x = np.sort(np.asarray(x))
     n = len(x)
     if n < 5:
-        return 0.5, x.mean() + 1e-12
-    prior_bs = 3.0
+        return 0.5, max(float(np.mean(x)), 1e-12)
+    prior_bs, prior_k = 3.0, 10.0
     m_est = 30 + int(np.sqrt(n))
     b = 1.0 - np.sqrt(m_est / (np.arange(1, m_est + 1) - 0.5))
     b = b / (prior_bs * x[int(n / 4 + 0.5) - 1]) + 1.0 / x[-1]
-    k = -np.mean(np.log1p(-b[:, None] * x[None, :]), axis=1)
-    l_b = n * (np.log(b / k) + k - 1.0)
-    w = 1.0 / np.array([np.sum(np.exp(l_b - l_b[i])) for i in
-                        range(m_est)])
+    # theta-profile log-likelihood; k here = -xi (the Z&S internal k)
+    k = np.mean(np.log1p(-b[:, None] * x[None, :]), axis=1)
+    l_b = n * (np.log(-b / k) - k - 1.0)
+    w = np.exp(l_b - l_b.max())
+    w = w / w.sum()
     b_post = np.sum(b * w)
-    k_post = -np.mean(np.log1p(-b_post * x))
-    sigma = k_post / b_post
-    return k_post, sigma
+    k_post = np.mean(np.log1p(-b_post * x))
+    sigma = -k_post / b_post
+    # k_post = mean(log1p(-b x)) = -k_ZS = +xi; regularize toward 0.5
+    # (weakly informative prior) and report the standard xi
+    xi = (n * k_post + prior_k * 0.5) / (n + prior_k)
+    return float(xi), float(sigma)
 
 
-def _gpd_quantiles(p, k, sigma):
-    if abs(k) < 1e-12:
+def _gpd_quantiles(p, xi, sigma):
+    """Inverse CDF of GPD(xi, sigma): sigma/xi ((1-p)^-xi - 1)."""
+    if abs(xi) < 1e-12:
         return -sigma * np.log1p(-p)
-    return sigma * (np.expm1(-k * np.log1p(-p)) / -k)
+    return sigma * np.expm1(-xi * np.log1p(-p)) / xi
 
 
 def loo_psis(loglik):
@@ -148,19 +172,24 @@ def loo_psis(loglik):
     M = int(min(0.2 * S, 3 * np.sqrt(S)))
     for n in range(N):
         lw = logw[:, n].copy()
-        order = np.argsort(lw)
-        tail = order[-M:]
-        cutoff = np.exp(lw[order[-M - 1]])
-        exceed = np.exp(lw[tail]) - cutoff
-        k, sigma = _gpd_fit(exceed)
-        ks[n] = k
-        if np.isfinite(k):
-            # replace the tail by GPD quantiles (smoothing), keep order
-            p = (np.arange(1, M + 1) - 0.5) / M
-            smoothed = cutoff + _gpd_quantiles(p, k, sigma)
-            lw[tail] = np.log(np.maximum(smoothed, 1e-300))
-            # PSIS truncation at the raw maximum
-            lw = np.minimum(lw, logw[:, n].max())
+        if M >= 5:
+            order = np.argsort(lw)
+            tail = order[-M:]
+            cutoff = np.exp(lw[order[-M - 1]])
+            exceed = np.exp(lw[tail]) - cutoff
+            k, sigma = _gpd_fit(exceed)
+            ks[n] = k
+            if np.isfinite(k):
+                # replace the tail by GPD quantiles (smoothing)
+                p = (np.arange(1, M + 1) - 0.5) / M
+                smoothed = cutoff + _gpd_quantiles(p, k, sigma)
+                lw[tail] = np.log(np.maximum(smoothed, 1e-300))
+                # PSIS truncation at the raw maximum
+                lw = np.minimum(lw, logw[:, n].max())
+        else:
+            # too few draws for a tail fit: plain (truncated) IS,
+            # diagnostic unavailable
+            ks[n] = np.nan
         lw = lw - logsumexp(lw)          # normalized log-weights
         elpd_i[n] = logsumexp(lw + loglik[:, n])
     lppd_i = _logmeanexp(loglik, axis=0)

@@ -83,28 +83,18 @@ class SGLDAlgorithm(SamplingAlgorithm):
 
     # ------------------------------------------------------------------
     def _latent_uuids(self):
-        latents = [v.uuid for v in self.model.get_latent_variables(
-            self.observed_variable_UUIDs)]
-        if not latents:
-            raise InferenceError("SGLD: the model has no latent "
-                                 "variables given the observed set.")
-        return latents
+        from .hmc import sampler_latent_uuids
+        return sampler_latent_uuids(self, "SGLD")
 
     def compute(self, env, ctx):
+        from .hmc import init_chains_from_prior, sum_log_pdf_terms
         C = self.num_chains
         latent_uuids = self._latent_uuids()
         observed = list(self.observed_variable_UUIDs)
 
         # chains initialized by ancestral prior draws (C on sample axis)
-        init_env = dict(env)
-        drawn = self.model.draw_samples(init_env, ctx.next_key(),
-                                        num_samples=C)
-        q = {}
-        for u in latent_uuids:
-            a = drawn[u]
-            if a.shape[0] != C:
-                a = jnp.broadcast_to(a, (C,) + a.shape[1:])
-            q[u] = a
+        q = init_chains_from_prior(self.model, env, ctx.next_key(),
+                                   latent_uuids, C)
         dtype = list(q.values())[0].dtype
 
         B = self.batch_size
@@ -125,12 +115,8 @@ class SGLDAlgorithm(SamplingAlgorithm):
         def log_joint(q, batch_env):
             e = dict(batch_env)
             e.update(q)
-            terms = self.model.log_pdf_terms(e, ctx=ctx)
-            tot = jnp.zeros((), dtype=dtype)
-            for t in terms:
-                t = t.astype(dtype)
-                tot = tot + (t if t.shape[0] != 1 else t[0])
-            return tot            # (C,) per-chain log-joint
+            return sum_log_pdf_terms(
+                self.model.log_pdf_terms(e, ctx=ctx), dtype)
 
         grad_logp = jax.grad(lambda q, be: jnp.sum(log_joint(q, be)))
 

@@ -21,7 +21,6 @@ import numpy as np
 
 from .inference import Inference
 from .inference_alg import SamplingAlgorithm
-from ..common.exceptions import InferenceError
 
 
 class SVGDAlgorithm(SamplingAlgorithm):
@@ -56,25 +55,15 @@ class SVGDAlgorithm(SamplingAlgorithm):
         self.bandwidth = bandwidth
 
     def _latent_uuids(self):
-        latents = [v.uuid for v in self.model.get_latent_variables(
-            self.observed_variable_UUIDs)]
-        if not latents:
-            raise InferenceError("SVGD: the model has no latent "
-                                 "variables given the observed set.")
-        return latents
+        from .hmc import sampler_latent_uuids
+        return sampler_latent_uuids(self, "SVGD")
 
     def compute(self, env, ctx):
+        from .hmc import init_chains_from_prior
         n = self.num_particles
         latent_uuids = self._latent_uuids()
-        init_env = dict(env)
-        drawn = self.model.draw_samples(init_env, ctx.next_key(),
-                                        num_samples=n)
-        z = {}
-        for u in latent_uuids:
-            a = drawn[u]
-            if a.shape[0] != n:
-                a = jnp.broadcast_to(a, (n,) + a.shape[1:])
-            z[u] = a
+        z = init_chains_from_prior(self.model, env, ctx.next_key(),
+                                   latent_uuids, n)
         dtype = list(z.values())[0].dtype
         shapes = {u: z[u].shape[1:] for u in z}
         sizes = {u: int(np.prod(shapes[u])) for u in z}
@@ -131,17 +120,19 @@ class SVGDAlgorithm(SamplingAlgorithm):
             G = 0.9 * G + 0.1 * p ** 2
             eps = eps0 * (1.0 + t / tau) ** -0.5
             zf = zf + eps * p / (1e-6 + jnp.sqrt(G))
-            return (zf, G), None
+            return (zf, G), jnp.mean(jnp.abs(p))
 
         zf0 = flat(z)
-        (zf, _), _ = jax.lax.scan(
+        (zf, _), upd = jax.lax.scan(
             body, (zf0, jnp.zeros_like(zf0)),
             jnp.arange(self.num_iterations, dtype=dtype))
 
         particles = unflat(zf)
         targets = self.target_variables if self.target_variables \
             else latent_uuids
-        diagnostics = {"final_mean_abs_update": jnp.mean(jnp.abs(phi(zf)))}
+        # last update magnitude comes out of the scan — no extra
+        # gradient/kernel evaluation after convergence
+        diagnostics = {"final_mean_abs_update": upd[-1]}
         return ({u: particles[u] for u in targets}, diagnostics)
 
 

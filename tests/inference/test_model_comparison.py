@@ -74,3 +74,57 @@ def test_waic_and_loo_prefer_correct_model():
     assert abs(l_good["elpd_loo"] - w_good["elpd_waic"]) < 2.0
     # healthy importance weights for the good model
     assert np.mean(l_good["pareto_k"] < 0.7) > 0.9
+
+
+def test_gpd_fit_standard_xi_convention():
+    """Pin the sign convention (r3 review finding: a Zhang–Stephens
+    internal-k leak inverted the tail smoothing and the k diagnostic):
+    heavy-tailed GPD data must fit xi > 0 and reproduce tail
+    quantiles."""
+    from mxfusion_tpu.inference.model_comparison import (_gpd_fit,
+                                                         _gpd_quantiles)
+    rng = np.random.default_rng(0)
+    for xi_true, sig_true in [(0.5, 1.0), (-0.2, 1.0)]:
+        u = rng.random(4000)
+        x = sig_true * np.expm1(-xi_true * np.log1p(-u)) / xi_true
+        xi, sig = _gpd_fit(x)
+        assert abs(xi - xi_true) < 0.1, (xi, xi_true)
+        p = np.array([0.5, 0.9, 0.99])
+        q = _gpd_quantiles(p, xi, sig)
+        q_true = sig_true * np.expm1(-xi_true * np.log1p(-p)) / xi_true
+        np.testing.assert_allclose(q, q_true, rtol=0.25)
+
+
+def test_loo_tiny_sample_guard():
+    """S too small for a tail fit: plain truncated IS, k = NaN."""
+    rng = np.random.default_rng(3)
+    ll = rng.standard_normal((4, 5)) - 1.0
+    out = loo_psis(ll)
+    assert np.isnan(out["pareto_k"]).all()
+    assert np.isfinite(out["elpd_loo"])
+
+
+def test_pointwise_loglik_after_minibatch_sgld():
+    """Minibatch SGLD binds symbolic dims to B; the pointwise
+    evaluation must re-bind them to the full data shape."""
+    from mxfusion_tpu.inference import SGLDAlgorithm, SGLDInference
+    rng = np.random.default_rng(4)
+    n_full = 96
+    y = rng.standard_normal((n_full, 1)) + 1.0
+    m = Model()
+    m.n = Variable()
+    m.mu = Normal.define_variable(mean=0., variance=100., shape=(1,))
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (m.n, 1)),
+                                 variance=broadcast_to(
+                                     Variable(value=1.0), (m.n, 1)),
+                                 shape=(m.n, 1))
+    alg = SGLDAlgorithm(model=m, observed=[m.y], num_samples=60,
+                        num_burnin=40, num_chains=2, batch_size=16,
+                        step_size=2e-4, step_decay_gamma=0.0)
+    infr = SGLDInference(inference_algorithm=alg)
+    infr.run(y=y, key=jax.random.PRNGKey(4))
+    ll = pointwise_log_likelihood(infr, y=y)["y"]
+    assert ll.shape == (120, n_full)
+    draws = np.asarray(infr._samples[m.mu.uuid]).reshape(-1)
+    expected = stats.norm.logpdf(y[:, 0][None, :], draws[:, None], 1.0)
+    np.testing.assert_allclose(ll, expected, rtol=1e-5, atol=1e-6)
