@@ -14,6 +14,7 @@ from .pointmass import PointMass
 from .exponential import Exponential
 from .inverse_gamma import InverseGamma
 from .mixture import NormalMixture
+from .concrete import Concrete
 from .poisson import Poisson
 from .studentt import StudentT
 from .lognormal import LogNormal
