@@ -62,7 +62,6 @@ class InferenceParameters:
         or a uniform(-0.07, 0.07) init matching the reference's engine
         default initializer.
         """
-        from ..modules.module import Module
         dtype = as_jnp_dtype(self.dtype)
         if key is None:
             key = jax.random.PRNGKey(0)
