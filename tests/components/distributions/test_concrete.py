@@ -84,3 +84,60 @@ def test_concrete_sampling_statistics_and_gradients():
     g = jax.grad(mean_first_coord)(jnp.asarray([0.1, -0.2, 0.05]))
     assert np.isfinite(np.asarray(g)).all()
     assert float(g[0]) > 0  # more weight on class 0 raises E[x_0]
+
+
+def test_concrete_latent_svi_discrete_autoencoder():
+    """End-to-end: amortized SVI with a Concrete posterior over relaxed
+    one-hot codes (the discrete-VAE pattern) — trains through the
+    reparameterized sampler, and the encoder becomes confident."""
+    import flax.linen as nn
+    from mxfusion_tpu import Model, Posterior
+    from mxfusion_tpu.components.functions import FlaxFunction
+    from mxfusion_tpu.components.functions.operators import broadcast_to
+    from mxfusion_tpu.inference import (GradBasedInference,
+                                        StochasticVariationalInference)
+    from mxfusion_tpu.components.distributions import Normal
+
+    rng = np.random.default_rng(0)
+    N, D, K = 120, 4, 3
+    centers = np.array([[2.0, 0, 0, 0], [0, 2.0, 0, 0], [0, 0, 2.0, 0]])
+    comp = rng.integers(0, K, N)
+    x = centers[comp] + rng.standard_normal((N, D)) * 0.15
+
+    class Decoder(nn.Module):
+        @nn.compact
+        def __call__(self, z):
+            return nn.Dense(D)(z)
+
+    class Encoder(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = jnp.tanh(nn.Dense(16)(x))
+            return jax.nn.softmax(nn.Dense(K)(h)) + 1e-6
+
+    decoder = FlaxFunction(Decoder(), name="dec", input_shapes=[(N, K)],
+                           rng_key=jax.random.PRNGKey(0))
+    m = Model()
+    m.z = Concrete.define_variable(
+        probs=broadcast_to(Variable(value=1.0 / K), (N, K)),
+        shape=(N, K), temperature=0.5)
+    m.x_mean = decoder(m.z)
+    m.x = Normal.define_variable(
+        mean=m.x_mean,
+        variance=broadcast_to(Variable(value=0.05), (N, D)),
+        shape=(N, D))
+
+    encoder = FlaxFunction(Encoder(), name="enc", input_shapes=[(N, D)],
+                           rng_key=jax.random.PRNGKey(1))
+    q = Posterior(m)
+    q_probs = encoder(q.x)
+    q.z.set_prior(Concrete(probs=q_probs, temperature=0.5))
+
+    alg = StochasticVariationalInference(num_samples=4, model=m,
+                                         posterior=q, observed=[m.x])
+    infr = GradBasedInference(inference_algorithm=alg)
+    losses = []
+    infr.run(max_iter=400, learning_rate=0.02, x=x,
+             callback=lambda i, l: losses.append(float(np.asarray(l))))
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0] - 50, (losses[0], losses[-1])
