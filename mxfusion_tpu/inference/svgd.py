@@ -147,3 +147,18 @@ class SVGDInference(Inference):
                             for k, v in diagnostics.items()}
         self._samples = particles
         return particles
+
+    def sample_predictive(self, key=None, samples=None, targets=None,
+                          **data):
+        """Posterior-predictive draws with latents pinned to the
+        particles — particles carry no chain axis, so insert one and
+        delegate to the shared (HMC) implementation."""
+        import jax.numpy as jnp
+        from .hmc import HMCInference
+        if samples is None:
+            samples = getattr(self, "_samples", None)
+        if samples is not None:
+            samples = {u: jnp.asarray(a)[:, None]
+                       for u, a in samples.items()}
+        return HMCInference.sample_predictive(
+            self, key=key, samples=samples, targets=targets, **data)

@@ -107,3 +107,23 @@ def test_chees_deterministic_and_shapes():
     a, b = run(), run()
     assert a.shape == (25, 3, 1)
     np.testing.assert_array_equal(a, b)
+
+
+def test_chees_sample_predictive():
+    N = 25
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((N, 1)) + 2.0
+    m = Model()
+    m.mu = Normal.define_variable(mean=0., variance=50., shape=(1,))
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (N, 1)),
+                                 variance=broadcast_to(
+                                     Variable(value=1.), (N, 1)),
+                                 shape=(N, 1))
+    alg = ChEESHMCAlgorithm(model=m, observed=[m.y], num_samples=50,
+                            num_warmup=50, num_chains=2)
+    infr = ChEESHMCInference(inference_algorithm=alg)
+    infr.run(y=y, key=jax.random.PRNGKey(3))
+    pred = infr.sample_predictive(key=jax.random.PRNGKey(4))
+    yp = np.asarray(pred[m.y.uuid])
+    assert yp.shape == (100, N, 1)
+    assert abs(yp.mean() - y.mean()) < 0.6

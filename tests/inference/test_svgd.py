@@ -91,3 +91,24 @@ def test_svgd_single_particle_is_map():
     post_var = 1.0 / (N + 0.01)
     post_mean = post_var * y.sum()
     assert abs(z - post_mean) < 0.05, (z, post_mean)
+
+
+def test_svgd_sample_predictive():
+    N = 30
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal((N, 1)) + 1.0
+    m = Model()
+    m.mu = Normal.define_variable(mean=0., variance=50., shape=(1,))
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (N, 1)),
+                                 variance=broadcast_to(
+                                     Variable(value=1.), (N, 1)),
+                                 shape=(N, 1))
+    alg = SVGDAlgorithm(model=m, observed=[m.y], num_particles=40,
+                        num_iterations=300, step_size=0.1)
+    infr = SVGDInference(inference_algorithm=alg)
+    infr.run(y=y, key=jax.random.PRNGKey(5))
+    pred = infr.sample_predictive(key=jax.random.PRNGKey(6))
+    yp = np.asarray(pred[m.y.uuid])
+    assert yp.shape == (40, N, 1)
+    # predictive draws center near the data mean
+    assert abs(yp.mean() - y.mean()) < 0.5
