@@ -2,3 +2,4 @@ from .gp_regression import GPRegression
 from .sparsegp_regression import SparseGPRegression
 from .svgp_regression import SVGPRegression
 from .svgp_classification import SVGPClassification
+from .svgp_multiclass import SVGPMultiClassification

@@ -56,13 +56,16 @@ def _gauss_hermite(num_points, dtype):
             jnp.asarray(w / np.sqrt(np.pi), dtype=dtype))
 
 
-def _q_f_moments(env, model, posterior, jitter, whitened):
+def _q_f_moments(env, model, posterior, jitter, whitened,
+                 keep_columns=False):
     """Diagonal moments of q(F) at the model's X, plus the whitened
     mean/cov factors needed by the KL term.
 
     Returns (mu_f (s,N), var_f (s,N), Linvmu, LinvLs) — the same
     algebra as SVGPRegressionLogPdf (svgp_regression.py:100-115), with
-    the N-axis kept diagonal throughout."""
+    the N-axis kept diagonal throughout. ``keep_columns=True`` keeps
+    mu_f as (s, N, D) for multi-column latents (multi-class); var_f is
+    column-shared either way (one q(U) covariance for all columns)."""
     X = env[model.X]
     Z = env[model.inducing_inputs]
     mu = env[posterior.qU_mean]
@@ -111,10 +114,12 @@ def _q_f_moments(env, model, posterior, jitter, whitened):
     else:
         LinvKuf = wide_triangular_solve(L, Kuf, lower=True)
 
-    mu_f = p_einsum("...mn,...md->...nd", LinvKuf, Linvmu)[..., 0]
+    mu_f = p_einsum("...mn,...md->...nd", LinvKuf, Linvmu)
     if model.F.factor.has_mean:
         (mean,) = arrays_as_samples([env[model.mean]])
-        mu_f = mu_f + mean[..., 0]
+        mu_f = mu_f + mean
+    if not keep_columns:
+        mu_f = mu_f[..., 0]
     LsTLinvKuf = p_einsum("...mk,...mn->...kn", LinvLs, LinvKuf)
     var_f = Kff_diag \
         - jnp.sum(jnp.square(LinvKuf), axis=-2) \
