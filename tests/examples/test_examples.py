@@ -24,6 +24,7 @@ EXAMPLES = [
     "gmm_mixture.py",
     "model_comparison.py",
     "writing_a_new_module.py",
+    "svgp_multiclass.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
