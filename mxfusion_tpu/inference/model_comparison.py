@@ -19,7 +19,8 @@ from .inference_alg import SamplingAlgorithm, create_sampling_executor
 from ..common.exceptions import InferenceError
 
 
-def pointwise_log_likelihood(infr, samples=None, key=None, **data):
+def pointwise_log_likelihood(infr, samples=None, key=None,
+                             has_chain_axis=True, **data):
     """Per-datapoint log-likelihoods under stored posterior draws.
 
     Parameters
@@ -27,6 +28,9 @@ def pointwise_log_likelihood(infr, samples=None, key=None, **data):
     infr : HMCInference / SGLDInference / any Inference whose
         ``_samples`` hold {uuid: (S, C, *event)} draws (or pass
         ``samples`` explicitly).
+    has_chain_axis : bool
+        False for particle draws shaped (S, *event) with no chain
+        axis (SVGDInference).
     data : the observed data arrays by variable name (as in ``run``).
 
     Returns {observed_name: (S*C, N)} numpy arrays — the likelihood
@@ -40,7 +44,9 @@ def pointwise_log_likelihood(infr, samples=None, key=None, **data):
     if samples is None:
         raise InferenceError("run() the sampler first (or pass "
                              "samples=...).")
-    flat = {u: jnp.reshape(jnp.asarray(a), (-1,) + tuple(a.shape[2:]))
+    event_from = 2 if has_chain_axis else 1
+    flat = {u: jnp.reshape(jnp.asarray(a),
+                           (-1,) + tuple(a.shape[event_from:]))
             for u, a in samples.items()}
     S = list(flat.values())[0].shape[0]
     model = alg.model

@@ -128,3 +128,25 @@ def test_pointwise_loglik_after_minibatch_sgld():
     draws = np.asarray(infr._samples[m.mu.uuid]).reshape(-1)
     expected = stats.norm.logpdf(y[:, 0][None, :], draws[:, None], 1.0)
     np.testing.assert_allclose(ll, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_pointwise_loglik_from_svgd_particles():
+    from mxfusion_tpu.inference import SVGDAlgorithm, SVGDInference
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal((N, 1)) + 1.0
+    m = Model()
+    m.mu = Normal.define_variable(mean=0., variance=100., shape=(1,))
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (N, 1)),
+                                 variance=broadcast_to(
+                                     Variable(value=1.0), (N, 1)),
+                                 shape=(N, 1))
+    alg = SVGDAlgorithm(model=m, observed=[m.y], num_particles=30,
+                        num_iterations=300, step_size=0.1)
+    infr = SVGDInference(inference_algorithm=alg)
+    infr.run(y=y, key=jax.random.PRNGKey(5))
+    ll = pointwise_log_likelihood(infr, has_chain_axis=False, y=y)["y"]
+    assert ll.shape == (30, N)
+    z = np.asarray(infr._samples[m.mu.uuid]).reshape(-1)
+    expected = stats.norm.logpdf(y[:, 0][None, :], z[:, None], 1.0)
+    np.testing.assert_allclose(ll, expected, rtol=1e-5, atol=1e-6)
+    assert np.isfinite(waic(ll)["elpd_waic"])
