@@ -171,9 +171,40 @@ def svgp_minibatch():
     return losses
 
 
+@_f64
+def svgp_classification():
+    """Binary SVGP classification: quadrature ELBO, whitened q(U)
+    (r3 module; pins the quadrature bound + relative jitter)."""
+    from mxfusion_tpu.modules import SVGPClassification
+    N, M = 96, 8
+    rng = np.random.default_rng(21)
+    X = rng.random((N, 1)) * 4
+    p = 1.0 / (1.0 + np.exp(-3.0 * np.sin(2.0 * X[:, :1])))
+    y = (rng.random((N, 1)) < p).astype(np.float64)
+    Z0 = np.linspace(0.1, 3.9, M)[:, None]
+
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, 1))
+    m.Y = SVGPClassification.define_variable(
+        X=m.X, kernel=RBF(input_dim=1, variance=1.5, lengthscale=0.7,
+                          dtype="float64"),
+        shape=(m.n, 1),
+        inducing_inputs=Variable(shape=Z0.shape, initial_value=Z0),
+        dtype="float64", whitened=True)
+    infr = GradBasedInference(
+        MAP(model=m, observed=[m.X, m.Y]), dtype="float64")
+    losses = []
+    infr.run(X=X, Y=y, max_iter=50, learning_rate=0.05, verbose=False,
+             key=jax.random.PRNGKey(15),
+             callback=lambda i, l: losses.append(float(l)))
+    return losses
+
+
 CONFIGS = {
     "ppca_svi": ppca_svi,
     "meanfield_linreg": meanfield_linreg,
     "gp_exact_1k": gp_exact_1k,
     "svgp_minibatch": svgp_minibatch,
+    "svgp_classification": svgp_classification,
 }
