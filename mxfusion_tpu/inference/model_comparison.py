@@ -33,9 +33,9 @@ def pointwise_log_likelihood(infr, samples=None, key=None,
         axis (SVGDInference).
     data : the observed data arrays by variable name (as in ``run``).
 
-    Returns {observed_name: (S*C, N)} numpy arrays — the likelihood
-    factor's log-density summed over trailing event dims, the leading
-    data axis kept.
+    Returns {observed_name: (S*C, N)} numpy arrays — (S, N) when
+    ``has_chain_axis=False`` — the likelihood factor's log-density
+    summed over trailing event dims, the leading data axis kept.
     """
     import jax
     alg = infr._algorithm

@@ -153,7 +153,6 @@ class SVGDInference(Inference):
         """Posterior-predictive draws with latents pinned to the
         particles — particles carry no chain axis, so insert one and
         delegate to the shared (HMC) implementation."""
-        import jax.numpy as jnp
         from .hmc import HMCInference
         if samples is None:
             samples = getattr(self, "_samples", None)

@@ -127,6 +127,23 @@ def _q_f_moments(env, model, posterior, jitter, whitened,
     return mu_f, var_f, Linvmu, LinvLs
 
 
+def _neg_kl(Linvmu, LinvLs, num_columns):
+    """Negative KL(q(U) || p(U)) for ``num_columns`` latent GP columns
+    sharing one q(U) covariance: same value as the regression bound's
+    KL block (svgp_regression.py:118-129) — the logdet terms collapse
+    because diag(L⁻¹Ls) = diag(Ls)/diag(L), so Σlog diag(L⁻¹Ls) =
+    Σlog diag(Ls) − Σlog diag(L); in whitened coordinates LinvLs IS Ls
+    and the L term is exactly absent. Shared by the binary and
+    multi-class classification ELBOs (cancellation-sensitive algebra —
+    keep a single copy)."""
+    M = Linvmu.shape[-2]
+    sumlogdiag = jnp.sum(jnp.log(
+        jnp.diagonal(LinvLs, axis1=-2, axis2=-1)), axis=-1)
+    return (M / 2.0 + sumlogdiag) * num_columns \
+        - jnp.sum(jnp.square(LinvLs), axis=(-2, -1)) / 2.0 * num_columns \
+        - jnp.sum(jnp.square(Linvmu), axis=(-2, -1)) / 2.0
+
+
 class SVGPClassificationLogPdf(VariationalInference):
     """Quadrature ELBO: Σ_n E_{q(f_n)}[log Bern(y_n | link(f_n))] − KL.
 
@@ -152,7 +169,6 @@ class SVGPClassificationLogPdf(VariationalInference):
         if Y.shape[0] != mu_f.shape[0]:
             (Y,) = arrays_as_samples([Y])
             Y = jnp.broadcast_to(Y, (mu_f.shape[0],) + Y.shape[1:])
-        M = Linvmu.shape[-2]
         D = Linvmu.shape[-1]
 
         t, w = _gauss_hermite(self.num_quadrature_points, mu_f.dtype)
@@ -170,17 +186,7 @@ class SVGPClassificationLogPdf(VariationalInference):
         quad = jnp.sum(log_lik * w, axis=-1)                 # (s, N)
         logL = jnp.sum(quad, axis=-1)
 
-        # negative KL(q(U) || p(U)): same value as the regression
-        # bound's KL block (svgp_regression.py:118-129) — the logdet
-        # terms collapse because diag(L⁻¹Ls) = diag(Ls)/diag(L), so
-        # Σlog diag(L⁻¹Ls) = Σlog diag(Ls) − Σlog diag(L); in whitened
-        # coordinates LinvLs IS Ls and the L term is exactly absent
-        sumlogdiag = jnp.sum(jnp.log(
-            jnp.diagonal(LinvLs, axis1=-2, axis2=-1)), axis=-1)
-        KL_u = (M / 2.0 + sumlogdiag) * D \
-            - jnp.sum(jnp.square(LinvLs), axis=(-2, -1)) / 2.0 * D \
-            - jnp.sum(jnp.square(Linvmu), axis=(-2, -1)) / 2.0
-        return self.log_pdf_scaling * logL + KL_u
+        return self.log_pdf_scaling * logL + _neg_kl(Linvmu, LinvLs, D)
 
 
 class SVGPClassificationProbPrediction(SamplingAlgorithm):

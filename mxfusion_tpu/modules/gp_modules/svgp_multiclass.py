@@ -30,7 +30,7 @@ from ...components.distributions.gp.cond_gp import \
 from ...inference.variational import VariationalInference
 from ...inference.inference_alg import SamplingAlgorithm
 from ...inference.forward_sampling import ForwardSamplingAlgorithm
-from .svgp_classification import _q_f_moments, _VAR_FLOOR
+from .svgp_classification import _q_f_moments, _neg_kl, _VAR_FLOOR
 
 
 class SVGPMultiClassLogPdf(VariationalInference):
@@ -60,7 +60,6 @@ class SVGPMultiClassLogPdf(VariationalInference):
         if Y.shape[0] != s:
             (Y,) = arrays_as_samples([Y])
             Y = jnp.broadcast_to(Y, (s,) + Y.shape[1:])
-        M = Linvmu.shape[-2]
         K = self.num_mc_samples
 
         # var_f is column-shared: (s, N) -> broadcast over (C, K)
@@ -71,15 +70,7 @@ class SVGPMultiClassLogPdf(VariationalInference):
         ce = jnp.sum(Y[..., None] * f, axis=-2) - \
             jax.scipy.special.logsumexp(f, axis=-2)     # (s, N, K)
         logL = jnp.sum(jnp.mean(ce, axis=-1), axis=-1)  # (s,)
-
-        # negative KL(q(U) || p(U)), column count C (same block as the
-        # binary module; see svgp_classification.py)
-        sumlogdiag = jnp.sum(jnp.log(
-            jnp.diagonal(LinvLs, axis1=-2, axis2=-1)), axis=-1)
-        KL_u = (M / 2.0 + sumlogdiag) * C \
-            - jnp.sum(jnp.square(LinvLs), axis=(-2, -1)) / 2.0 * C \
-            - jnp.sum(jnp.square(Linvmu), axis=(-2, -1)) / 2.0
-        return self.log_pdf_scaling * logL + KL_u
+        return self.log_pdf_scaling * logL + _neg_kl(Linvmu, LinvLs, C)
 
 
 class SVGPMultiClassProbPrediction(SamplingAlgorithm):
@@ -122,13 +113,19 @@ class SVGPMultiClassification(Module):
 
     def __init__(self, X, kernel, num_classes, inducing_inputs=None,
                  num_inducing=10, rand_gen=None, dtype=None, jitter=1e-5,
-                 whitened=False, num_mc_samples=8):
+                 whitened=False, num_mc_samples=8,
+                 num_predict_mc_samples=None):
         if num_classes < 2:
             raise ValueError("num_classes must be >= 2.")
         self.num_classes = int(num_classes)
         self.jitter = jitter
         self.whitened = whitened
         self.num_mc_samples = num_mc_samples
+        # prediction is a one-shot pass, so it defaults to a higher
+        # fidelity than the per-step training estimator
+        self.num_predict_mc_samples = (
+            max(64, num_mc_samples) if num_predict_mc_samples is None
+            else num_predict_mc_samples)
         if not isinstance(X, Variable):
             X = Variable(value=X)
         if inducing_inputs is None:
@@ -206,6 +203,7 @@ class SVGPMultiClassification(Module):
             algorithm=SVGPMultiClassProbPrediction(
                 self._module_graph, self._extra_graphs[0], observed,
                 jitter=self.jitter, whitened=self.whitened,
+                num_mc_samples=self.num_predict_mc_samples,
                 rand_gen=self._rand_gen),
             alg_name="svgp_mc_predict")
 
@@ -213,12 +211,14 @@ class SVGPMultiClassification(Module):
     def define_variable(X, kernel, num_classes, shape=None,
                         inducing_inputs=None, num_inducing=10,
                         rand_gen=None, dtype=None, jitter=1e-5,
-                        whitened=False, num_mc_samples=8):
+                        whitened=False, num_mc_samples=8,
+                        num_predict_mc_samples=None):
         gp = SVGPMultiClassification(
             X=X, kernel=kernel, num_classes=num_classes,
             inducing_inputs=inducing_inputs, num_inducing=num_inducing,
             rand_gen=rand_gen, dtype=dtype, jitter=jitter,
-            whitened=whitened, num_mc_samples=num_mc_samples)
+            whitened=whitened, num_mc_samples=num_mc_samples,
+            num_predict_mc_samples=num_predict_mc_samples)
         gp._generate_outputs({"random_variable": shape})
         return gp.random_variable
 
@@ -231,4 +231,5 @@ class SVGPMultiClassification(Module):
         rep.jitter = self.jitter
         rep.whitened = self.whitened
         rep.num_mc_samples = self.num_mc_samples
+        rep.num_predict_mc_samples = self.num_predict_mc_samples
         return rep

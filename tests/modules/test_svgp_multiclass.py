@@ -141,3 +141,30 @@ def test_multiclass_sampling_one_hot():
     assert s.shape == (6, N, C)
     assert np.allclose(s.sum(-1), 1.0)
     assert set(np.unique(s)).issubset({0.0, 1.0})
+
+
+def test_multiclass_sharded_elbo_equals_unsharded():
+    # GSPMD data sharding must not change the MC ELBO: the (s,N,C,K)
+    # draws depend only on the key and logical shape, not the layout
+    # (mirrors test_classification_sharded_elbo_equals_unsharded for
+    # the binary quadrature ELBO).
+    from mxfusion_tpu.parallel import make_mesh, shard_data
+    rng = np.random.default_rng(5)
+    N = 160
+    X = rng.random((N, 2)) * 4
+    Y = np.eye(C)[rng.integers(0, C, N)]
+    Z0 = rng.random((M_IND, 2)) * 4
+    m = _build(0.9, 1.3, Z0, num_mc=4, jitter=1e-8)
+    alg = MAP(model=m, observed=[m.X, m.Y])
+    infr = GradBasedInference(inference_algorithm=alg, dtype="float64")
+    infr.initialize(X=X, Y=Y)
+    ex = create_executor(alg, infr.params)
+    tr = infr.params.trainable_params()
+    fx = infr.params.fixed_params()
+    plain, _, _ = jax.jit(ex)(tr, fx, [jnp.asarray(X), jnp.asarray(Y)],
+                              jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    sharded, _, _ = jax.jit(ex)(tr, fx, shard_data(mesh, [X, Y]),
+                                jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(np.asarray(plain)),
+                               float(np.asarray(sharded)), rtol=1e-10)
