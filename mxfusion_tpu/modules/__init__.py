@@ -1,4 +1,4 @@
 from .module import Module
 from .gp_modules import (GPRegression, SparseGPRegression,
                          SVGPRegression, SVGPClassification,
-                         SVGPMultiClassification)
+                         SVGPMultiClassification, LMCSVGPRegression)

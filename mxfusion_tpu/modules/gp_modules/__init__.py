@@ -3,3 +3,4 @@ from .sparsegp_regression import SparseGPRegression
 from .svgp_regression import SVGPRegression
 from .svgp_classification import SVGPClassification
 from .svgp_multiclass import SVGPMultiClassification
+from .lmc_svgp import LMCSVGPRegression

@@ -25,6 +25,7 @@ EXAMPLES = [
     "model_comparison.py",
     "writing_a_new_module.py",
     "svgp_multiclass.py",
+    "lmc_multioutput.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
