@@ -13,6 +13,9 @@ from .distribution import UnivariateDistribution
 
 
 class Beta(UnivariateDistribution):
+
+    support = "unit_interval"
+
     def __init__(self, alpha, beta, rand_gen=None, dtype=None):
         super().__init__(
             inputs=[("alpha", alpha), ("beta", beta)], outputs=None,

@@ -36,6 +36,11 @@ class Distribution(Factor):
     # elementwise distributions right-align parameter event dims against
     # the random variable (scalar params vs (N, 1) values)
     _elementwise = False
+    # Support of the output variable: "real" (default), "positive", or
+    # "unit_interval". Samplers (HMC/ChEES/SGLD/SVGD) use this to run
+    # constrained latents in an unconstrained space via log/logit
+    # bijectors with the Jacobian folded into the potential.
+    support = "real"
 
     def __init__(self, inputs, outputs, input_names, output_names,
                  rand_gen=None, dtype=None):

@@ -13,6 +13,8 @@ from .distribution import UnivariateDistribution
 class Exponential(UnivariateDistribution):
     """Exponential with rate ``rate``: ``p(x) = rate * exp(-rate x)``."""
 
+    support = "positive"
+
     def __init__(self, rate, rand_gen=None, dtype=None):
         super().__init__(
             inputs=[("rate", rate)], outputs=None,

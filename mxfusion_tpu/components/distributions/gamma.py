@@ -11,6 +11,8 @@ from .distribution import UnivariateDistribution
 class Gamma(UnivariateDistribution):
     """Gamma with shape ``alpha`` and rate ``beta``."""
 
+    support = "positive"
+
     def __init__(self, alpha, beta, rand_gen=None, dtype=None):
         super().__init__(
             inputs=[("alpha", alpha), ("beta", beta)], outputs=None,
@@ -40,6 +42,8 @@ class GammaMeanVariance(UnivariateDistribution):
     Converts internally to shape/rate: ``alpha = mean²/var``,
     ``beta = mean/var`` (reference gamma.py:140-177).
     """
+
+    support = "positive"
 
     def __init__(self, mean, variance, rand_gen=None, dtype=None):
         super().__init__(

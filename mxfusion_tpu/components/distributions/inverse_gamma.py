@@ -14,6 +14,8 @@ class InverseGamma(UnivariateDistribution):
     """``x ~ InvGamma(alpha, beta)``: ``1/x ~ Gamma(alpha, rate=beta)``;
     ``p(x) = beta^alpha / Γ(alpha) x^-(alpha+1) exp(-beta/x)``."""
 
+    support = "positive"
+
     def __init__(self, alpha, beta, rand_gen=None, dtype=None):
         super().__init__(
             inputs=[("alpha", alpha), ("beta", beta)], outputs=None,

@@ -14,6 +14,8 @@ from .distribution import UnivariateDistribution
 class LogNormal(UnivariateDistribution):
     """``log(x) ~ Normal(mean, variance)``."""
 
+    support = "positive"
+
     def __init__(self, mean, variance, rand_gen=None, dtype=None):
         super().__init__(
             inputs=[("mean", mean), ("variance", variance)], outputs=None,

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .inference import Inference
-from .inference_alg import SamplingAlgorithm
+from .inference_alg import SamplingAlgorithm, VariableEnv
 from .hmc import HMCInference
 
 
@@ -70,18 +70,25 @@ class ChEESHMCAlgorithm(SamplingAlgorithm):
 
     def compute(self, env, ctx):
         from .hmc import (init_chains_from_prior, sum_log_pdf_terms,
+                          make_support_transforms,
                           _per_chain_sum as per_chain_sum)
         C = self.num_chains
         latent_uuids = self._latent_uuids()
         q0 = init_chains_from_prior(self.model, env, ctx.next_key(),
                                     latent_uuids, C)
         dtype = list(q0.values())[0].dtype
+        bij = make_support_transforms(self.model, latent_uuids)
+        if bij is not None:
+            q0 = bij.unconstrain(q0)
 
         def neg_logp(q):
-            e = dict(env)
-            e.update(q)
-            return -sum_log_pdf_terms(
+            e = VariableEnv(env)
+            e.update(bij.constrain(q) if bij is not None else q)
+            lp = sum_log_pdf_terms(
                 self.model.log_pdf_terms(e, ctx=ctx), dtype)
+            if bij is not None:
+                lp = lp + bij.log_jacobian(q).astype(dtype)
+            return -lp
 
         grad_U = jax.grad(lambda q: jnp.sum(neg_logp(q)))
 
@@ -220,6 +227,8 @@ class ChEESHMCAlgorithm(SamplingAlgorithm):
 
         targets = self.target_variables if self.target_variables \
             else latent_uuids
+        if bij is not None:
+            chain = bij.constrain(chain)  # back to the native support
         samples = {u: chain[u] for u in targets}
         diagnostics = {
             "accept_rate": jnp.mean(accept_probs, axis=0),

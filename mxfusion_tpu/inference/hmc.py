@@ -10,19 +10,19 @@ program, with chains vectorized along the framework's standard leading
 sample axis (so the per-chain joint log-density is just the sum of
 ``FactorGraph.log_pdf_terms``).
 
-Scope: latents are sampled in their native (unconstrained) space —
-Gaussian latents, BNN weights, linear-model coefficients. Constrained
-latents (Gamma/Beta-distributed) would need bijector reparameterization
-with a Jacobian correction; not implemented (raise below would be
-wrong — their priors still evaluate, the chain just mixes poorly if the
-support boundary matters; documented).
+Constrained latents (positive / unit-interval support, declared by the
+generating distribution's ``support`` attribute) are reparameterized to
+an unconstrained space via log / logit bijectors with the Jacobian
+folded into the potential (``SupportTransforms`` below) — the NumPyro
+convention. Samples are returned in the native support. Real-valued
+latents pay no extra ops (the transform set is None).
 """
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .inference import Inference
-from .inference_alg import SamplingAlgorithm
+from .inference_alg import SamplingAlgorithm, VariableEnv
 from ..common.exceptions import InferenceError
 
 
@@ -46,7 +46,7 @@ def sampler_latent_uuids(algorithm, name):
 def init_chains_from_prior(model, env, key, latent_uuids, num_chains):
     """Ancestral prior draws, broadcast to C entries on the sample
     axis — the standard chain/particle initialization."""
-    drawn = model.draw_samples(dict(env), key, num_samples=num_chains)
+    drawn = model.draw_samples(VariableEnv(env), key, num_samples=num_chains)
     q = {}
     for u in latent_uuids:
         a = drawn[u]
@@ -54,6 +54,68 @@ def init_chains_from_prior(model, env, key, latent_uuids, num_chains):
             a = jnp.broadcast_to(a, (num_chains,) + a.shape[1:])
         q[u] = a
     return q
+
+
+class SupportTransforms:
+    """Bijectors taking constrained latents to an unconstrained sampling
+    space (NumPyro-style): positive -> log/exp, unit_interval ->
+    logit/sigmoid. ``log_jacobian`` is the per-chain sum of
+    log|dx/dz| to fold into the potential so the chain targets the
+    correct density in z-space."""
+
+    def __init__(self, supports):
+        self.supports = supports
+
+    def unconstrain(self, q):
+        out = {}
+        for u, x in q.items():
+            s = self.supports.get(u, "real")
+            if s == "positive":
+                out[u] = jnp.log(x)
+            elif s == "unit_interval":
+                out[u] = jnp.log(x) - jnp.log1p(-x)
+            else:
+                out[u] = x
+        return out
+
+    def constrain(self, z):
+        out = {}
+        for u, zv in z.items():
+            s = self.supports.get(u, "real")
+            if s == "positive":
+                out[u] = jnp.exp(zv)
+            elif s == "unit_interval":
+                out[u] = jax.nn.sigmoid(zv)
+            else:
+                out[u] = zv
+        return out
+
+    def log_jacobian(self, z):
+        tot = None
+        for u, zv in z.items():
+            s = self.supports.get(u, "real")
+            if s == "positive":
+                term = _per_chain_sum(zv)
+            elif s == "unit_interval":
+                term = _per_chain_sum(-jax.nn.softplus(zv)
+                                      - jax.nn.softplus(-zv))
+            else:
+                continue
+            tot = term if tot is None else tot + term
+        return tot
+
+
+def make_support_transforms(model, latent_uuids):
+    """SupportTransforms for the latents whose generating factor
+    declares a non-real ``support``; None when every latent is real
+    (the common fast path — no extra ops in the potential)."""
+    supports = {}
+    for u in latent_uuids:
+        f = model.variables[u].factor
+        supports[u] = getattr(f, "support", "real")
+    if all(s == "real" for s in supports.values()):
+        return None
+    return SupportTransforms(supports)
 
 
 def sum_log_pdf_terms(terms, dtype):
@@ -164,12 +226,18 @@ class HMCAlgorithm(SamplingAlgorithm):
         q0 = init_chains_from_prior(self.model, env, ctx.next_key(),
                                     latent_uuids, C)
         dtype0 = list(q0.values())[0].dtype
+        bij = make_support_transforms(self.model, latent_uuids)
+        if bij is not None:
+            q0 = bij.unconstrain(q0)
 
         def neg_logp(q):  # (C,) potential energy
-            e = dict(env)
-            e.update(q)
-            return -sum_log_pdf_terms(
+            e = VariableEnv(env)
+            e.update(bij.constrain(q) if bij is not None else q)
+            lp = sum_log_pdf_terms(
                 self.model.log_pdf_terms(e, ctx=ctx), dtype0)
+            if bij is not None:
+                lp = lp + bij.log_jacobian(q).astype(dtype0)
+            return -lp
 
         grad_U = jax.grad(lambda q: jnp.sum(neg_logp(q)))
 
@@ -289,6 +357,8 @@ class HMCAlgorithm(SamplingAlgorithm):
 
         targets = self.target_variables if self.target_variables \
             else latent_uuids
+        if bij is not None:
+            chain = bij.constrain(chain)  # back to the native support
         samples = {u: chain[u] for u in targets}
         diagnostics = {
             "accept_rate": jnp.mean(accept_probs, axis=0),  # (C,)
@@ -344,7 +414,7 @@ class HMCInference(Inference):
 
         class _Predictive(SamplingAlgorithm):
             def compute(self, env, ctx):
-                env = dict(env)
+                env = VariableEnv(env)
                 env.update(flat)   # pinned latents: sampling skips them
                 return self.model.draw_samples(
                     env, ctx.next_key(), num_samples=n,

@@ -15,7 +15,8 @@ per-point Pareto-k diagnostic.
 import numpy as np
 import jax.numpy as jnp
 
-from .inference_alg import SamplingAlgorithm, create_sampling_executor
+from .inference_alg import (SamplingAlgorithm, VariableEnv,
+                            create_sampling_executor)
 from ..common.exceptions import InferenceError
 
 
@@ -58,7 +59,7 @@ def pointwise_log_likelihood(infr, samples=None, key=None,
 
     class _Pointwise(SamplingAlgorithm):
         def compute(self, env, ctx):
-            env = dict(env)
+            env = VariableEnv(env)
             env.update(flat)
             # deterministic factors upstream must evaluate first;
             # targets=[] skips every density term (pure env fill)

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .inference import Inference
-from .inference_alg import SamplingAlgorithm, create_sampling_executor
+from .inference_alg import (SamplingAlgorithm, VariableEnv,
+                            create_sampling_executor)
 from .hmc import HMCInference
 from ..common.exceptions import InferenceError
 
@@ -96,6 +97,10 @@ class SGLDAlgorithm(SamplingAlgorithm):
         q = init_chains_from_prior(self.model, env, ctx.next_key(),
                                    latent_uuids, C)
         dtype = list(q.values())[0].dtype
+        from .hmc import make_support_transforms
+        bij = make_support_transforms(self.model, latent_uuids)
+        if bij is not None:
+            q = bij.unconstrain(q)
 
         B = self.batch_size
         if B is not None:
@@ -113,10 +118,14 @@ class SGLDAlgorithm(SamplingAlgorithm):
                     "batch_size {} exceeds the data size {}.".format(B, N))
 
         def log_joint(q, batch_env):
-            e = dict(batch_env)
-            e.update(q)
-            return sum_log_pdf_terms(
+            e = VariableEnv(batch_env)
+            e.update(bij.constrain(q) if bij is not None else q)
+            lp = sum_log_pdf_terms(
                 self.model.log_pdf_terms(e, ctx=ctx), dtype)
+            if bij is not None:
+                # prior-side term: NOT subject to the N/B rescaling
+                lp = lp + bij.log_jacobian(q).astype(dtype)
+            return lp
 
         grad_logp = jax.grad(lambda q, be: jnp.sum(log_joint(q, be)))
 
@@ -124,7 +133,7 @@ class SGLDAlgorithm(SamplingAlgorithm):
             if B is None:
                 return env
             idx = jax.random.randint(key, (B,), 0, N)
-            be = dict(env)
+            be = VariableEnv(env)
             for u in observed:
                 if env[u].ndim >= 2 and env[u].shape[1] == N:
                     be[u] = jnp.take(env[u], idx, axis=1)
@@ -183,6 +192,8 @@ class SGLDAlgorithm(SamplingAlgorithm):
 
         targets = self.target_variables if self.target_variables \
             else latent_uuids
+        if bij is not None:
+            chain = bij.constrain(chain)  # back to the native support
         samples = {u: chain[u] for u in targets}
         diagnostics = {
             "step_size_final": eps_at(t_final - 1.0),

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .inference import Inference
-from .inference_alg import SamplingAlgorithm
+from .inference_alg import SamplingAlgorithm, VariableEnv
 
 
 class SVGDAlgorithm(SamplingAlgorithm):
@@ -59,11 +59,14 @@ class SVGDAlgorithm(SamplingAlgorithm):
         return sampler_latent_uuids(self, "SVGD")
 
     def compute(self, env, ctx):
-        from .hmc import init_chains_from_prior
+        from .hmc import init_chains_from_prior, make_support_transforms
         n = self.num_particles
         latent_uuids = self._latent_uuids()
         z = init_chains_from_prior(self.model, env, ctx.next_key(),
                                    latent_uuids, n)
+        bij = make_support_transforms(self.model, latent_uuids)
+        if bij is not None:
+            z = bij.unconstrain(z)  # particles flow in z-space
         dtype = list(z.values())[0].dtype
         shapes = {u: z[u].shape[1:] for u in z}
         sizes = {u: int(np.prod(shapes[u])) for u in z}
@@ -80,10 +83,14 @@ class SVGDAlgorithm(SamplingAlgorithm):
             return out
 
         def log_joint(zf):
-            e = dict(env)
-            e.update(unflat(zf))
-            return jnp.sum(self.model.log_pdf_per_sample(e, ctx=ctx)
-                           .astype(dtype))
+            zd = unflat(zf)
+            e = VariableEnv(env)
+            e.update(bij.constrain(zd) if bij is not None else zd)
+            lp = jnp.sum(self.model.log_pdf_per_sample(e, ctx=ctx)
+                         .astype(dtype))
+            if bij is not None:
+                lp = lp + jnp.sum(bij.log_jacobian(zd)).astype(dtype)
+            return lp
 
         grad_logp = jax.grad(log_joint)     # (n, D) batched score
 
@@ -128,6 +135,8 @@ class SVGDAlgorithm(SamplingAlgorithm):
             jnp.arange(self.num_iterations, dtype=dtype))
 
         particles = unflat(zf)
+        if bij is not None:
+            particles = bij.constrain(particles)
         targets = self.target_variables if self.target_variables \
             else latent_uuids
         # last update magnitude comes out of the scan — no extra

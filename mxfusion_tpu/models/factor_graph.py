@@ -200,6 +200,13 @@ class FactorGraph:
         for f in self.ordered_factors:
             if isinstance(f, Module):
                 outcome_uuid = [v.uuid for _, v in f.outputs]
+                known = [u in env for u in outcome_uuid]
+                if all(known):
+                    continue          # observed, like Distribution below
+                if any(known):
+                    raise InferenceError(
+                        "Part of the outputs of {} is observed.".format(
+                            type(f).__name__))
                 key, subkey = jax.random.split(key)
                 outcome = f.draw_samples(env, subkey,
                                          num_samples=num_samples,
