@@ -18,5 +18,6 @@ from .concrete import Concrete
 from .poisson import Poisson
 from .studentt import StudentT
 from .lognormal import LogNormal
+from .logitnormal import LogitNormal
 from .gp import GaussianProcess, ConditionalGaussianProcess
 from .gp import kernels as gp_kernels

@@ -8,6 +8,8 @@ minimizes ``-log p``.
 from .variational import VariationalInference
 from ..models.posterior import Posterior
 from ..components.variables.variable import Variable, VariableType
+from ..components.variables.var_trans import (PositiveTransformation,
+                                              Logistic)
 from ..components.distributions.pointmass import PointMass
 from ..util.inference import variables_to_UUID
 
@@ -26,7 +28,17 @@ class MAP(VariationalInference):
         for v in model.variables.values():
             if v.type == VariableType.RANDVAR and \
                     v.uuid not in observed_uuid:
-                location = Variable(shape=v.shape)
+                # constrain the point-mass location to the latent's
+                # declared support so the optimizer can never leave it
+                # (a free location over a Gamma latent NaNs the prior)
+                sup = getattr(v.factor, "support", "real")
+                if sup == "positive":
+                    trans = PositiveTransformation()
+                elif sup == "unit_interval":
+                    trans = Logistic(0.0, 1.0)
+                else:
+                    trans = None
+                location = Variable(shape=v.shape, transformation=trans)
                 q[v].set_prior(PointMass(location=location))
         return q
 

@@ -1,17 +1,27 @@
 """Gaussian mean-field posterior builder.
 
-Reference: /root/reference/mxfusion/inference/meanfield.py:24-44.
+Reference: /root/reference/mxfusion/inference/meanfield.py:24-44, with
+one extension the reference lacks: the factor family follows the
+latent's declared support (ADVI-style). A Normal posterior over a
+Gamma-distributed latent lets SVI draw negative values into the prior
+(NaN); instead positive-support latents get a LogNormal factor and
+unit-interval latents a LogitNormal — both reparameterized transforms
+of a Normal, so the ELBO gradients stay pathwise and the Jacobian is
+inside the factor's own log-density.
 """
 from ..models.posterior import Posterior
 from ..components.variables.variable import Variable, VariableType
 from ..components.variables.var_trans import PositiveTransformation
 from ..components.distributions.normal import Normal
+from ..components.distributions.lognormal import LogNormal
+from ..components.distributions.logitnormal import LogitNormal
 from ..util.inference import variables_to_UUID
 
 
 def create_Gaussian_meanfield(model, observed, dtype=None):
-    """Attach an independent Normal posterior factor (with positively
-    constrained variance) to every unobserved random variable."""
+    """Attach an independent (transformed-)Normal posterior factor
+    (with positively constrained variance) to every unobserved random
+    variable, matching each latent's support."""
     observed_uuid = set(variables_to_UUID(observed))
     q = Posterior(model)
     for v in model.variables.values():
@@ -20,5 +30,13 @@ def create_Gaussian_meanfield(model, observed, dtype=None):
             variance = Variable(shape=v.shape,
                                 transformation=PositiveTransformation(),
                                 initial_value=1.0)
-            q[v].set_prior(Normal(mean=mean, variance=variance, dtype=dtype))
+            sup = getattr(v.factor, "support", "real")
+            if sup == "positive":
+                family = LogNormal
+            elif sup == "unit_interval":
+                family = LogitNormal
+            else:
+                family = Normal
+            q[v].set_prior(family(mean=mean, variance=variance,
+                                  dtype=dtype))
     return q
