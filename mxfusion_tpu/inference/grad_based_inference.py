@@ -38,10 +38,23 @@ class GradBasedInference(Inference):
 
     def run(self, optimizer="adam", learning_rate=1e-3, max_iter=2000,
             verbose=False, key=None, callback=None, data_sharding=None,
-            remat=False, **kwargs):
+            remat=False, rv_scaling=None, **kwargs):
+        """``rv_scaling``: {variable or uuid: scalar or array} factors
+        multiplying a RANDVAR's elementwise log-density. A scalar is
+        the reference's minibatch correction; an ARRAY broadcasting
+        against the variable's event shape is an observation mask /
+        per-point weight (0 = missing entry; set the placeholder value
+        to anything finite). Array scaling applies to distribution
+        likelihoods — module bounds scale their already-summed data
+        term, so they accept scalars only."""
         data = [np.asarray(d) for d in self._fetch_observed(kwargs)]
         is_minibatch = isinstance(self._grad_loop, MinibatchInferenceLoop)
         if is_minibatch:
+            if rv_scaling is not None:
+                raise ValueError(
+                    "pass rv_scaling to MinibatchInferenceLoop for "
+                    "minibatch runs (it composes with the N/B "
+                    "correction there).")
             self._bind_minibatch_shapes(data)
             # allocate parameters against batch-sized shapes
             self.params.initialize_params(
@@ -50,7 +63,10 @@ class GradBasedInference(Inference):
             rv_scaling = self._grad_loop.rv_scaling
         else:
             self.initialize(key=key, **kwargs)
-            rv_scaling = None
+            if rv_scaling is not None:
+                rv_scaling = {
+                    (k.uuid if hasattr(k, "uuid") else k): v
+                    for k, v in rv_scaling.items()}
         executor = create_executor(self._algorithm, self.params,
                                    rv_scaling=rv_scaling, remat=remat)
         return self._grad_loop.run(
