@@ -201,10 +201,42 @@ def svgp_classification():
     return losses
 
 
+@_f64
+def lmc_multioutput():
+    """LMC multi-output SVGP: closed-form mixed ELBO (r3 module; pins
+    the mixing/column-shared-variance algebra and the shared KL)."""
+    from mxfusion_tpu.modules import LMCSVGPRegression
+    N, M, Q, C = 72, 6, 2, 3
+    rng = np.random.default_rng(31)
+    X = np.sort(rng.random((N, 1)) * 5, axis=0)
+    G = np.stack([np.sin(X[:, 0]), np.cos(1.3 * X[:, 0])], -1)
+    W_true = np.array([[1.0, 0.5, -1.0], [0.2, -0.8, 0.4]])
+    Y = G @ W_true + rng.standard_normal((N, C)) * 0.05
+    Z0 = np.linspace(0.2, 4.8, M)[:, None]
+
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, 1))
+    m.Y = LMCSVGPRegression.define_variable(
+        X=m.X, kernel=RBF(input_dim=1, variance=1.0, lengthscale=1.0,
+                          dtype="float64"),
+        num_outputs=C, num_latents=Q, shape=(m.n, C),
+        inducing_inputs=Variable(shape=Z0.shape, initial_value=Z0),
+        dtype="float64", whitened=True)
+    infr = GradBasedInference(
+        MAP(model=m, observed=[m.X, m.Y]), dtype="float64")
+    losses = []
+    infr.run(X=X, Y=Y, max_iter=50, learning_rate=0.05, verbose=False,
+             key=jax.random.PRNGKey(16),
+             callback=lambda i, l: losses.append(float(l)))
+    return losses
+
+
 CONFIGS = {
     "ppca_svi": ppca_svi,
     "meanfield_linreg": meanfield_linreg,
     "gp_exact_1k": gp_exact_1k,
     "svgp_minibatch": svgp_minibatch,
     "svgp_classification": svgp_classification,
+    "lmc_multioutput": lmc_multioutput,
 }
