@@ -30,7 +30,7 @@ from .sgld import SGLDAlgorithm, SGLDInference
 from .svgd import SVGDAlgorithm, SVGDInference
 from .chees import ChEESHMCAlgorithm, ChEESHMCInference
 from .model_comparison import (pointwise_log_likelihood, waic,
-                               loo_psis)
+                               loo_psis, posterior_predictive_check)
 from .natural_gradient import NaturalGradientLoop, \
     NaturalGradientMinibatchLoop
 from .laplace import laplace_approximation, LaplaceResult

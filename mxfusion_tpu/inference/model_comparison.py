@@ -205,3 +205,43 @@ def loo_psis(loglik):
             "se": float(np.sqrt(N * elpd_i.var(ddof=1))),
             "pareto_k": ks,
             "pointwise": elpd_i}
+
+
+def posterior_predictive_check(infr, statistic, observed_name,
+                               key=None, **data):
+    """Bayesian posterior predictive check (Gelman et al., BDA ch. 6).
+
+    Replicates the observed variable from the stored posterior draws
+    (one y_rep per draw via ``sample_predictive``), evaluates a test
+    statistic on each replicate and on the real data, and returns the
+    posterior predictive p-value  P(T(y_rep) >= T(y_obs)).
+
+    Parameters
+    ----------
+    infr : a sampler Inference (HMC/ChEES/SGLD/SVGD) that has run.
+    statistic : callable(ndarray) -> float, evaluated on one
+        replicate's event array (e.g. ``lambda y: y.var()``).
+    observed_name : name of the checked variable; its real data must be
+        in ``data`` and is EXCLUDED from conditioning.
+    data : observed arrays by name (conditioning inputs + the checked
+        variable's realization).
+
+    Returns dict with ``p_value``, ``T_obs``, ``T_rep`` (per-draw
+    statistics). Extreme p-values (< 0.05 or > 0.95) flag aspects of
+    the data the model cannot reproduce.
+    """
+    if observed_name not in data:
+        raise InferenceError(
+            "pass the checked variable's data, e.g. {}=y."
+            .format(observed_name))
+    y_obs = np.asarray(data[observed_name])
+    cond = {k: v for k, v in data.items() if k != observed_name}
+    target = getattr(infr._algorithm.model, observed_name)
+    (y_rep,) = infr.sample_predictive(key=key, targets=[target.uuid],
+                                      **cond)
+    y_rep = np.asarray(y_rep)
+    T_rep = np.asarray([float(statistic(y_rep[s]))
+                        for s in range(y_rep.shape[0])])
+    T_obs = float(statistic(y_obs))
+    return {"p_value": float(np.mean(T_rep >= T_obs)),
+            "T_obs": T_obs, "T_rep": T_rep}

@@ -150,3 +150,45 @@ def test_pointwise_loglik_from_svgd_particles():
     expected = stats.norm.logpdf(y[:, 0][None, :], z[:, None], 1.0)
     np.testing.assert_allclose(ll, expected, rtol=1e-5, atol=1e-6)
     assert np.isfinite(waic(ll)["elpd_waic"])
+
+
+def test_posterior_predictive_check_calibration():
+    # well-specified model: variance statistic p-value is moderate;
+    # misspecified (heavy-tailed data under a Normal model): the max
+    # statistic is extreme
+    import jax
+    from mxfusion_tpu import Model, Variable
+    from mxfusion_tpu.components.distributions import Normal
+    from mxfusion_tpu.components.functions.operators import broadcast_to
+    from mxfusion_tpu.inference.hmc import HMCInference, HMCAlgorithm
+    from mxfusion_tpu.inference import posterior_predictive_check
+
+    rng = np.random.default_rng(0)
+    N = 80
+
+    def fit(y):
+        m = Model()
+        m.mu = Normal.define_variable(mean=0., variance=100.,
+                                      shape=(1,))
+        m.y = Normal.define_variable(
+            mean=broadcast_to(m.mu, (N, 1)),
+            variance=broadcast_to(Variable(value=1.0), (N, 1)),
+            shape=(N, 1))
+        infr = HMCInference(HMCAlgorithm(
+            model=m, observed=[m.y], num_samples=200, num_chains=2,
+            num_warmup=200))
+        infr.run(y=y, key=jax.random.PRNGKey(0))
+        return infr
+
+    y_good = rng.standard_normal((N, 1)) + 1.5
+    ppc = posterior_predictive_check(
+        fit(y_good), lambda y: y.var(), "y", y=y_good,
+        key=jax.random.PRNGKey(1))
+    assert 0.05 < ppc["p_value"] < 0.95, ppc["p_value"]
+    assert ppc["T_rep"].shape == (400,)
+
+    y_heavy = rng.standard_t(df=1.5, size=(N, 1)) + 1.5  # Cauchy-ish
+    ppc2 = posterior_predictive_check(
+        fit(y_heavy), lambda y: np.abs(y).max(), "y", y=y_heavy,
+        key=jax.random.PRNGKey(2))
+    assert ppc2["p_value"] < 0.05, ppc2["p_value"]
