@@ -39,7 +39,12 @@ class Distribution(Factor):
     # Support of the output variable: "real" (default), "positive", or
     # "unit_interval". Samplers (HMC/ChEES/SGLD/SVGD) use this to run
     # constrained latents in an unconstrained space via log/logit
-    # bijectors with the Jacobian folded into the potential.
+    # bijectors with the Jacobian folded into the potential; MAP and
+    # the meanfield factory use it to pick constrained locations /
+    # factor families. Limits: Uniform's bounds are runtime inputs and
+    # Dirichlet/Concrete live on the simplex — neither is declarable
+    # here, so those latents still run in native space (document the
+    # failure mode to users rather than half-transforming them).
     support = "real"
 
     def __init__(self, inputs, outputs, input_names, output_names,
@@ -71,8 +76,15 @@ class Distribution(Factor):
         if self._elementwise:
             broadcast = align_sample_arrays(broadcast)
         named = dict(zip(inputs.keys(), broadcast[:-1]))
+        # array rv_scaling (observation mask / per-point weights) rides
+        # the env as an executor argument; scalar scaling is the plain
+        # attribute (minibatch N/B correction)
+        scaling = self.log_pdf_scaling
+        scale_key = getattr(self, "log_pdf_scaling_key", None)
+        if scale_key is not None and scale_key in env:
+            scaling = env[scale_key]
         return self.log_pdf_impl(random_variable=broadcast[-1], **named) \
-            * self.log_pdf_scaling
+            * scaling
 
     def draw_samples(self, env, key, num_samples=1):
         """Draw ``num_samples`` samples of the output variable.

@@ -67,12 +67,18 @@ class SupportTransforms:
         self.supports = supports
 
     def unconstrain(self, q):
+        # boundary guard: a prior draw that underflows to exactly 0 (or
+        # rounds to 1) would map to an infinite z0 and permanently stick
+        # the chain (accept_prob 0 forever); clip by the dtype's eps
         out = {}
         for u, x in q.items():
             s = self.supports.get(u, "real")
             if s == "positive":
-                out[u] = jnp.log(x)
+                tiny = jnp.finfo(x.dtype).tiny
+                out[u] = jnp.log(jnp.maximum(x, tiny))
             elif s == "unit_interval":
+                eps = jnp.finfo(x.dtype).eps
+                x = jnp.clip(x, eps, 1.0 - eps)
                 out[u] = jnp.log(x) - jnp.log1p(-x)
             else:
                 out[u] = x

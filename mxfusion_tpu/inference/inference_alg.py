@@ -19,12 +19,49 @@ the host loop) — same semantics, no mutation inside the trace.
 """
 from abc import ABC, abstractmethod
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..common.exceptions import InferenceError
 from ..components.variables.variable import VariableType
 from ..util.inference import variables_to_UUID
+
+
+def _scaling_env_key(uuid):
+    """Env key carrying a RANDVAR's array rv_scaling (mask/weights)."""
+    return uuid + ":rv_scale"
+
+
+def _check_array_scaling(v, arr):
+    """Validate an array rv_scaling against the variable's declaration.
+
+    Broadcasting is right-aligned, so a rank-mismatched mask (e.g.
+    (N,) against an (N, 1) event) would silently blow the density up to
+    (s, N, N) and sum it — require the mask's rank to equal the event
+    rank and every statically declared dim to match (or be 1)."""
+    from ..modules.module import Module
+    if isinstance(v.factor, Module):
+        raise InferenceError(
+            "array rv_scaling is not supported for module-generated "
+            "variable '{}': module bounds scale their already-summed "
+            "data term, so only scalars compose correctly."
+            .format(v.name or v.uuid))
+    shape = np.shape(arr)
+    declared = tuple(v.shape)
+    if len(shape) != len(declared):
+        raise InferenceError(
+            "rv_scaling array for '{}' has rank {} but the variable's "
+            "event shape {} has rank {}; masks must match the event "
+            "rank exactly (add the trailing singleton dims)."
+            .format(v.name or v.uuid, len(shape), declared,
+                    len(declared)))
+    for d_arr, d_var in zip(shape, declared):
+        if isinstance(d_var, int) and d_arr not in (1, d_var):
+            raise InferenceError(
+                "rv_scaling array for '{}' has shape {} which does not "
+                "broadcast against the declared event shape {}."
+                .format(v.name or v.uuid, shape, declared))
 
 
 class VariableEnv(dict):
@@ -109,7 +146,10 @@ class InferenceAlgorithm(ABC):
 
         Reference: inference_alg.py:165-190. Returns {uuid: transformation}
         for every parameter with a bijector; sets ``log_pdf_scaling`` on
-        the generating factors of scaled RANDVARs.
+        the generating factors of scaled RANDVARs. Array-valued scalings
+        (observation masks) are validated here and routed through the
+        env (``log_pdf_scaling_key``) so they arrive as jit ARGS rather
+        than baked literals — see :func:`_make_env_builder`.
         """
         rv_scaling = rv_scaling if rv_scaling is not None else {}
         excluded = set(self._observed_uuid)
@@ -122,9 +162,18 @@ class InferenceAlgorithm(ABC):
                     var_trans[v.uuid] = v.transformation
                 if v.type == VariableType.RANDVAR:
                     if v.uuid in rv_scaling:
-                        v.factor.log_pdf_scaling = rv_scaling[v.uuid]
+                        s = rv_scaling[v.uuid]
+                        if np.ndim(s) > 0:
+                            _check_array_scaling(v, s)
+                            v.factor.log_pdf_scaling = 1.0
+                            v.factor.log_pdf_scaling_key = \
+                                _scaling_env_key(v.uuid)
+                        else:
+                            v.factor.log_pdf_scaling = s
+                            v.factor.log_pdf_scaling_key = None
                     else:
                         v.factor.log_pdf_scaling = 1.0
+                        v.factor.log_pdf_scaling_key = None
         return var_trans
 
     def set_parameter(self, ctx, variable, value):
@@ -162,6 +211,17 @@ def _make_env_builder(algorithm, params, rv_scaling=None):
     observed data (sample dim added), variable ties.
     """
     var_trans = algorithm.prepare_executor(rv_scaling=rv_scaling)
+    # array rv_scalings (observation masks) ride the fixed-params path:
+    # they become executor ARGUMENTS, not closure constants baked into
+    # the jitted program (the relay compile endpoint rejects >100 MB
+    # literals — CLAUDE.md), and reach the factor via its
+    # log_pdf_scaling_key env lookup
+    if rv_scaling:
+        for uuid, s in rv_scaling.items():
+            if np.ndim(s) > 0:
+                key = _scaling_env_key(uuid)
+                params.param_dict[key] = jnp.asarray(s)
+                params.fixed.add(key)
     # merge module-internal transformations (reference inference_alg.py:192-219)
     for g in algorithm.graphs:
         for m in g.modules.values():

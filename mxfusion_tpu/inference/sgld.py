@@ -88,7 +88,8 @@ class SGLDAlgorithm(SamplingAlgorithm):
         return sampler_latent_uuids(self, "SGLD")
 
     def compute(self, env, ctx):
-        from .hmc import init_chains_from_prior, sum_log_pdf_terms
+        from .hmc import (init_chains_from_prior, sum_log_pdf_terms,
+                          make_support_transforms)
         C = self.num_chains
         latent_uuids = self._latent_uuids()
         observed = list(self.observed_variable_UUIDs)
@@ -97,7 +98,6 @@ class SGLDAlgorithm(SamplingAlgorithm):
         q = init_chains_from_prior(self.model, env, ctx.next_key(),
                                    latent_uuids, C)
         dtype = list(q.values())[0].dtype
-        from .hmc import make_support_transforms
         bij = make_support_transforms(self.model, latent_uuids)
         if bij is not None:
             q = bij.unconstrain(q)

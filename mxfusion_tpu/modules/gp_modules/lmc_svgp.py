@@ -131,6 +131,8 @@ class LMCSVGPRegression(Module):
         self.num_outputs = int(num_outputs)
         self.num_latents = int(num_latents) if num_latents is not None \
             else self.num_outputs
+        if self.num_latents < 1:
+            raise ValueError("num_latents must be >= 1.")
         self.jitter = jitter
         self.whitened = whitened
         if not isinstance(X, Variable):

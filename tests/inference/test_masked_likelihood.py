@@ -99,3 +99,62 @@ def test_minibatch_loop_rejects_run_level_rv_scaling():
     with pytest.raises(ValueError):
         infr.run(y=y_obs, max_iter=10, verbose=False,
                  rv_scaling={m.y: mask})
+
+
+def test_rank_mismatched_mask_raises():
+    import pytest
+    from mxfusion_tpu.common.exceptions import InferenceError
+    _, mask, y_obs = _data(seed=4)
+    m = _model()
+    alg = MAP(model=m, observed=[m.y])
+    infr = GradBasedInference(alg)
+    with pytest.raises(InferenceError, match="rank"):
+        infr.run(y=y_obs, max_iter=5, verbose=False,
+                 rv_scaling={m.y: mask[:, 0]})       # (N,) vs (N, 1)
+
+
+def test_module_array_mask_raises():
+    import pytest
+    from mxfusion_tpu.common.exceptions import InferenceError
+    from mxfusion_tpu.components.distributions.gp.kernels import RBF
+    from mxfusion_tpu.modules import SVGPRegression
+    rng = np.random.default_rng(5)
+    X = rng.random((30, 1))
+    Y = rng.standard_normal((30, 1))
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, 1))
+    m.Y = SVGPRegression.define_variable(
+        X=m.X, kernel=RBF(input_dim=1), noise_var=Variable(value=0.1),
+        shape=(m.n, 1), num_inducing=4)
+    infr = GradBasedInference(MAP(model=m, observed=[m.X, m.Y]))
+    with pytest.raises(InferenceError, match="module"):
+        infr.run(X=X, Y=Y, max_iter=5, verbose=False,
+                 rv_scaling={m.Y: np.ones((30, 1))})
+
+
+def test_mask_rides_as_executor_argument():
+    # the mask must be a jit ARG (fixed-params path), not a baked
+    # closure constant (CLAUDE.md relay rule): after executor creation
+    # the fixed store carries the mask under the derived key, and
+    # swapping the array there changes the objective WITHOUT retracing
+    _, mask, y_obs = _data(seed=6)
+    m = _model()
+    alg = MAP(model=m, observed=[m.y])
+    infr = GradBasedInference(alg)
+    infr.initialize(y=y_obs)
+    ex = create_executor(alg, infr.params,
+                         rv_scaling={m.y.uuid: mask})
+    key = m.y.uuid + ":rv_scale"
+    fixed = infr.params.fixed_params()
+    assert key in fixed
+    import jax
+    jitted = jax.jit(ex)
+    l1, _, _ = jitted(infr.params.trainable_params(), fixed, [y_obs],
+                      jax.random.PRNGKey(0))
+    fixed2 = dict(fixed)
+    fixed2[key] = np.zeros_like(mask)    # mask everything out
+    l2, _, _ = jitted(infr.params.trainable_params(), fixed2, [y_obs],
+                      jax.random.PRNGKey(0))
+    assert not np.allclose(float(np.asarray(l1)),
+                           float(np.asarray(l2)))
