@@ -89,3 +89,21 @@ def test_advi_meanfield_matches_conjugate_gamma_posterior():
     a, b = 2 + N, 2 + y.sum()
     np.testing.assert_allclose(Eq, a / b, rtol=0.05)
     np.testing.assert_allclose(Vq, a / b ** 2, rtol=0.35)
+
+
+def test_laplace_over_constrained_latent_matches_exact_evidence():
+    # Gamma-Exponential has closed-form evidence:
+    # p(y) = b^a Gamma(a+N) / (Gamma(a) (b+sum y)^(a+N)).
+    # The Laplace estimate around the (support-transformed) MAP must
+    # land within O(1/a_post) of it.
+    from scipy.special import gammaln
+    from mxfusion_tpu.inference.laplace import laplace_approximation
+    m, y = _gamma_exponential(seed=7)
+    N = y.shape[0]
+    infr = GradBasedInference(MAP(model=m, observed=[m.y]))
+    infr.run(y=y, max_iter=2000, learning_rate=0.05, verbose=False)
+    res = laplace_approximation(infr, y=y)
+    a, b = 2.0, 2.0
+    exact = (a * np.log(b) + gammaln(a + N) - gammaln(a)
+             - (a + N) * np.log(b + y.sum()))
+    np.testing.assert_allclose(res.log_evidence, exact, atol=0.05)
