@@ -29,6 +29,8 @@ from .hmc import (HMCAlgorithm, HMCInference,
 from .sgld import SGLDAlgorithm, SGLDInference
 from .svgd import SVGDAlgorithm, SVGDInference
 from .chees import ChEESHMCAlgorithm, ChEESHMCInference
+from .tempering import (ParallelTemperingAlgorithm,
+                        ParallelTemperingInference)
 from .model_comparison import (pointwise_log_likelihood, waic,
                                loo_psis, posterior_predictive_check)
 from .natural_gradient import NaturalGradientLoop, \
