@@ -13,6 +13,9 @@ from ..variables.variable import Variable
 
 
 class Dirichlet(Distribution):
+
+    support = "simplex"
+
     def __init__(self, alpha, normalization=True, rand_gen=None, dtype=None):
         super().__init__(
             inputs=[("alpha", alpha)], outputs=None,

@@ -36,15 +36,15 @@ class Distribution(Factor):
     # elementwise distributions right-align parameter event dims against
     # the random variable (scalar params vs (N, 1) values)
     _elementwise = False
-    # Support of the output variable: "real" (default), "positive", or
-    # "unit_interval". Samplers (HMC/ChEES/SGLD/SVGD) use this to run
-    # constrained latents in an unconstrained space via log/logit
-    # bijectors with the Jacobian folded into the potential; MAP and
-    # the meanfield factory use it to pick constrained locations /
-    # factor families. Limits: Uniform's bounds are runtime inputs and
-    # Dirichlet/Concrete live on the simplex — neither is declarable
-    # here, so those latents still run in native space (document the
-    # failure mode to users rather than half-transforming them).
+    # Support of the output variable: "real" (default), "positive",
+    # "unit_interval", or "simplex" (last event axis). Samplers
+    # (HMC/ChEES/SGLD/SVGD/PT) use this to run constrained latents in
+    # an unconstrained space via log / logit / stick-breaking bijectors
+    # with the Jacobian folded into the potential; MAP and the
+    # meanfield factory use the scalar supports to pick constrained
+    # locations / factor families (simplex applies to samplers only).
+    # Limit: Uniform's bounds are runtime inputs, not declarable here,
+    # so Uniform latents still run in native space.
     support = "real"
 
     def __init__(self, inputs, outputs, input_names, output_names,

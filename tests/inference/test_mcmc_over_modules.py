@@ -152,3 +152,62 @@ def test_sgld_gamma_exponential_conjugate():
     a, b = 2 + N, 2 + y.sum()
     # Langevin with finite step: looser tolerance
     np.testing.assert_allclose(tau.mean(), a / b, rtol=0.1)
+
+
+def test_simplex_bijector_round_trip_and_jacobian():
+    # stick-breaking: constrain(unconstrain(x)) == x, and the Jacobian
+    # matches the numerical logdet of the (K-1)x(K-1) forward map
+    from mxfusion_tpu.inference.hmc import SupportTransforms
+    import jax.numpy as jnp
+    tr = SupportTransforms({"u": "simplex"})
+    rng = np.random.default_rng(0)
+    for K in (2, 3, 6):
+        x = rng.dirichlet(np.ones(K) * 1.5, size=(4,))
+        z = tr.unconstrain({"u": jnp.asarray(x)})["u"]
+        assert z.shape == (4, K - 1)
+        x2 = tr.constrain({"u": z})["u"]
+        np.testing.assert_allclose(np.asarray(x2), x, rtol=1e-9,
+                                   atol=1e-12)
+        # numerical Jacobian of z -> x_head (first K-1 coords)
+        def fwd(zrow):
+            return np.asarray(tr.constrain(
+                {"u": jnp.asarray(zrow)[None]})["u"])[0, :-1]
+        z0 = np.asarray(z)[0]
+        eps = 1e-6
+        J = np.stack([(fwd(z0 + eps * np.eye(K - 1)[i]) -
+                       fwd(z0 - eps * np.eye(K - 1)[i])) / (2 * eps)
+                      for i in range(K - 1)], axis=1)
+        num_logdet = np.linalg.slogdet(J)[1]
+        ana = float(np.asarray(tr.log_jacobian(
+            {"u": jnp.asarray(z0)[None]})))
+        np.testing.assert_allclose(ana, num_logdet, rtol=1e-5)
+
+
+def test_hmc_dirichlet_categorical_conjugate():
+    # p ~ Dir(2, 2, 2); y_i ~ Cat(p). Posterior: Dir(2 + counts).
+    from mxfusion_tpu.components.distributions import (Dirichlet,
+                                                       Categorical)
+    from mxfusion_tpu.components.functions.operators import (
+        log, broadcast_to)
+    rng = np.random.default_rng(2)
+    K, N = 3, 90
+    labels = rng.choice(K, size=N, p=[0.6, 0.3, 0.1])
+    Y = np.eye(K)[labels]
+    counts = Y.sum(0)
+    m = Model()
+    m.p = Dirichlet.define_variable(
+        alpha=Variable(value=np.full(K, 2.0)), shape=(K,))
+    m.y = Categorical.define_variable(
+        log_prob=broadcast_to(log(m.p), (N, K)), num_classes=K,
+        one_hot_encoding=True, normalization=True, shape=(N, K))
+    infr = HMCInference(HMCAlgorithm(
+        model=m, observed=[m.y], num_samples=800, num_chains=4,
+        num_warmup=500))
+    samples = infr.run(y=Y, key=jax.random.PRNGKey(3))
+    p = np.asarray(samples[m.p.uuid]).reshape(-1, K)
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-6)
+    alpha_post = 2.0 + counts
+    a0 = alpha_post.sum()
+    np.testing.assert_allclose(p.mean(0), alpha_post / a0, atol=0.02)
+    var_exact = alpha_post * (a0 - alpha_post) / (a0 ** 2 * (a0 + 1))
+    np.testing.assert_allclose(p.var(0), var_exact, rtol=0.3)
