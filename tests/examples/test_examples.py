@@ -26,6 +26,7 @@ EXAMPLES = [
     "writing_a_new_module.py",
     "svgp_multiclass.py",
     "lmc_multioutput.py",
+    "matrix_completion.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
