@@ -99,6 +99,30 @@ def main():
               grads / run2, total2))
     print("accept:", infr2.diagnostics["accept_rate"].round(2))
 
+    # ---- PT replica-exchange (6 temperatures x 8 chains = 48 replicas)
+    from mxfusion_tpu.inference import (ParallelTemperingAlgorithm,
+                                        ParallelTemperingInference)
+    pt_samples, K_t = 1_000, 6
+    m3 = build(False)
+    alg3 = ParallelTemperingAlgorithm(
+        model=m3, observed=[m3.X, m3.y], num_samples=pt_samples,
+        num_warmup=200, num_chains=CHAINS, num_temps=K_t,
+        num_leapfrog=leap, step_size=0.01)
+    infr3 = ParallelTemperingInference(inference_algorithm=alg3)
+    t0 = time.perf_counter()
+    s3 = infr3.run(X=X, y=y, key=jax.random.PRNGKey(4))
+    float(jnp.asarray(s3[m3.w.uuid]).reshape(-1)[0])
+    total3 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s3 = infr3.run(X=X, y=y, key=jax.random.PRNGKey(5))
+    float(jnp.asarray(s3[m3.w.uuid]).reshape(-1)[0])
+    run3 = time.perf_counter() - t0
+    print("PT    (N=100k full-data, D=%d, %d chains x %d temps, L=%d):"
+          " %d cold draws in %.2f s = %.0f draws/s (first run incl. "
+          "compile %.1f s)" % (D, CHAINS, K_t, leap, pt_samples, run3,
+                               pt_samples / run3, total3))
+    print("swap accept:", infr3.diagnostics["swap_accept_rate"].round(2))
+
 
 if __name__ == "__main__":
     main()
