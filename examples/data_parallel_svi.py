@@ -44,7 +44,7 @@ def main():
     infr = GradBasedInference(inference_algorithm=alg,
                               grad_loop=DataParallelBatchLoop(mesh))
     infr.run(max_iter=MAX_ITER, learning_rate=0.1, y=y)
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]).ravel()[0])
     print("posterior mean: {:.3f} (data mean {:.3f})".format(
         mu_post, y.mean()))
     return mu_post

@@ -39,7 +39,7 @@ def main():
     infr = GradBasedInference(inference_algorithm=alg)
     infr.run(max_iter=MAX_ITER, learning_rate=0.1, y=y, verbose=not SMOKE)
 
-    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]))
+    mu_post = float(np.asarray(infr.params[q.mu.factor.mean]).ravel()[0])
     s_post = float(np.asarray(infr.params[m.s]).ravel()[0])
     print("posterior mean: {:.3f} (data mean {:.3f})".format(mu_post,
                                                              y.mean()))
