@@ -67,3 +67,15 @@ def test_sgld_sharded_data_matches_unsharded():
     mesh = make_mesh(8)
     sharded = _run(SGLDAlgorithm, lambda d: shard_data(mesh, d), **kw)
     np.testing.assert_allclose(plain, sharded, rtol=2e-4, atol=1e-5)
+
+
+def test_pt_sharded_data_matches_unsharded():
+    from mxfusion_tpu.inference import ParallelTemperingAlgorithm
+    kw = dict(num_samples=40, num_warmup=30, num_chains=2, num_temps=4,
+              num_leapfrog=5)
+    plain = _run(ParallelTemperingAlgorithm,
+                 lambda d: [jnp.asarray(x) for x in d], **kw)
+    mesh = make_mesh(8)
+    sharded = _run(ParallelTemperingAlgorithm,
+                   lambda d: shard_data(mesh, d), **kw)
+    np.testing.assert_allclose(plain, sharded, rtol=2e-4, atol=1e-5)
