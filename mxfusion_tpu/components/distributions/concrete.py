@@ -27,6 +27,11 @@ class Concrete(Distribution):
     the event shape's LAST axis is the K classes.
     """
 
+    # density w.r.t. the (K-1)-simplex (Maddison et al. 2017, eq. 6) —
+    # samplers reparameterize via the same stick-breaking bijector as
+    # Dirichlet
+    support = "simplex"
+
     def __init__(self, probs, temperature=1.0, rand_gen=None, dtype=None):
         super().__init__(
             inputs=[("probs", probs)], outputs=None,

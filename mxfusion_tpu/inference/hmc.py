@@ -95,12 +95,12 @@ class SupportTransforms:
             elif s == "simplex":
                 eps = jnp.finfo(x.dtype).eps
                 K = x.shape[-1]
-                # remaining stick before coordinate k (exclusive)
+                # remaining stick before coordinate k (exclusive
+                # cumsum; the zero-width slice handles K == 2 too)
                 csum = jnp.cumsum(x[..., :-1], axis=-1)
                 rem = jnp.concatenate(
                     [jnp.ones_like(x[..., :1]),
-                     1.0 - csum[..., :-1]], axis=-1) if K > 2 else \
-                    jnp.ones_like(x[..., :1])
+                     1.0 - csum[..., :-1]], axis=-1)
                 v = jnp.clip(x[..., :-1] / jnp.maximum(rem, eps),
                              eps, 1.0 - eps)
                 out[u] = jnp.log(v) - jnp.log1p(-v) \

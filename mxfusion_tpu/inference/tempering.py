@@ -135,14 +135,19 @@ class ParallelTemperingAlgorithm(SamplingAlgorithm):
             q, p = jax.lax.fori_loop(0, self.num_leapfrog, body, (q, p))
             return q, p
 
-        def hmc_sweep(q, eps, key):
+        def hmc_sweep(q, lp, eps, key):
+            """One tempered proposal for all replicas. ``lp`` is the
+            CURRENT untempered log_post of q (carried through the scan
+            so the model forward runs once per sweep, not three
+            times). Returns the new state with its log_post."""
             kp, ka = jax.random.split(key)
             keys = jax.random.split(kp, len(latent_uuids))
             p0 = {u: jax.random.normal(k, q[u].shape, dtype=dtype)
                   for u, k in zip(latent_uuids, keys)}
-            H0 = neg_logp_t(q) + kinetic(p0)
+            H0 = -betas * lp + kinetic(p0)
             q1, p1 = leapfrog(q, p0, eps)
-            H1 = neg_logp_t(q1) + kinetic(p1)
+            lp1 = log_post(q1)
+            H1 = -betas * lp1 + kinetic(p1)
             dH = H0 - H1
             accept_prob = jnp.minimum(1.0, jnp.exp(dH))
             accept_prob = jnp.where(jnp.isnan(accept_prob), 0.0,
@@ -151,16 +156,18 @@ class ParallelTemperingAlgorithm(SamplingAlgorithm):
                 ka, (R,), dtype=dtype)) < dH
             qn = {u: jnp.where(accept.reshape(bshape(u)), q1[u], q[u])
                   for u in q}
-            return qn, accept_prob
+            lpn = jnp.where(accept, lp1, lp)
+            return qn, lpn, accept_prob
 
         # temperature indices within each chain block
         t_idx = jnp.tile(jnp.arange(K), C)                 # (R,)
 
-        def swap_pass(q, parity, key):
+        def swap_pass(q, lp, parity, key):
             """Even/odd adjacent-pair swaps within each chain block.
             Pair (t, t+1) with t ≡ parity (mod 2): the LOWER row of a
-            pair proposes to swap with its +1 neighbor."""
-            lp = log_post(q)                               # (R,)
+            pair proposes to swap with its +1 neighbor. ``lp`` is the
+            carried log_post; the post-swap values are the same
+            permutation applied to it (no model evaluation here)."""
             lp_up = jnp.roll(lp, -1)
             beta_up = jnp.roll(betas, -1)
             is_lower = (t_idx % 2 == parity) & (t_idx < K - 1)
@@ -178,9 +185,11 @@ class ParallelTemperingAlgorithm(SamplingAlgorithm):
                 sel_p = take_prev.reshape(bshape(uu))
                 qn[uu] = jnp.where(sel_n, nxt,
                                    jnp.where(sel_p, prv, x))
+            lpn = jnp.where(take_next, lp_up,
+                            jnp.where(take_prev, jnp.roll(lp, 1), lp))
             # per-pair acceptance (for diagnostics): mean over proposing
             # rows of this parity
-            return qn, do_swap, is_lower
+            return qn, lpn, do_swap, is_lower
 
         # ---- warmup: dual averaging of the base step size on the
         # pooled accept statistic
@@ -189,11 +198,12 @@ class ParallelTemperingAlgorithm(SamplingAlgorithm):
         mu = jnp.log(10.0 * eps0)
 
         def warmup_body(carry, inp):
-            q, log_eps, log_eps_bar, h_bar, t = carry
+            q, lp, log_eps, log_eps_bar, h_bar, t = carry
             i, key = inp
             ks, kw = jax.random.split(key)
-            qn, accept_prob = hmc_sweep(q, jnp.exp(log_eps), ks)
-            qn, _, _ = swap_pass(qn, i % 2, kw)
+            qn, lpn, accept_prob = hmc_sweep(q, lp, jnp.exp(log_eps),
+                                             ks)
+            qn, lpn, _, _ = swap_pass(qn, lpn, i % 2, kw)
             mean_accept = jnp.mean(accept_prob).astype(dtype)
             t = t + 1.0
             h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + \
@@ -201,29 +211,33 @@ class ParallelTemperingAlgorithm(SamplingAlgorithm):
             log_eps = mu - jnp.sqrt(t) / gamma * h_bar
             w = t ** (-kappa)
             log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-            return (qn, log_eps, log_eps_bar, h_bar, t), None
+            return (qn, lpn, log_eps, log_eps_bar, h_bar, t), None
 
         zero = jnp.zeros((), dtype)
-        carry = (q0, jnp.log(eps0), jnp.log(eps0), zero, zero)
+        lp0 = log_post(q0)
+        carry = (q0, lp0, jnp.log(eps0), jnp.log(eps0), zero, zero)
         steps = jnp.arange(self.num_warmup)
         carry, _ = jax.lax.scan(
             warmup_body, carry,
             (steps, jax.random.split(ctx.next_key(), self.num_warmup)))
-        q, _, log_eps_bar, _, _ = carry
+        q, lp, _, log_eps_bar, _, _ = carry
         eps = jnp.exp(log_eps_bar)
 
         # ---- sampling
-        def sample_body(q, inp):
+        def sample_body(carry, inp):
+            q, lp = carry
             i, key = inp
             ks, kw = jax.random.split(key)
-            qn, accept_prob = hmc_sweep(q, eps, ks)
-            qn, do_swap, is_lower = swap_pass(qn, i % 2, kw)
-            return qn, (qn, accept_prob, do_swap, is_lower)
+            qn, lpn, accept_prob = hmc_sweep(q, lp, eps, ks)
+            qn, lpn, do_swap, is_lower = swap_pass(qn, lpn, i % 2, kw)
+            return (qn, lpn), (qn, accept_prob, do_swap, is_lower)
 
         steps = jnp.arange(self.num_samples)
-        q, (chain, accept_probs, do_swap, is_lower) = jax.lax.scan(
-            sample_body, q,
-            (steps, jax.random.split(ctx.next_key(), self.num_samples)))
+        (q, lp), (chain, accept_probs, do_swap, is_lower) = \
+            jax.lax.scan(
+                sample_body, (q, lp),
+                (steps,
+                 jax.random.split(ctx.next_key(), self.num_samples)))
 
         if bij is not None:
             chain = bij.constrain(chain)

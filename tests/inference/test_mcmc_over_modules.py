@@ -179,7 +179,7 @@ def test_simplex_bijector_round_trip_and_jacobian():
                       for i in range(K - 1)], axis=1)
         num_logdet = np.linalg.slogdet(J)[1]
         ana = float(np.asarray(tr.log_jacobian(
-            {"u": jnp.asarray(z0)[None]})))
+            {"u": jnp.asarray(z0)[None]})).ravel()[0])
         np.testing.assert_allclose(ana, num_logdet, rtol=1e-5)
 
 
