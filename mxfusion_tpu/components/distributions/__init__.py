@@ -19,5 +19,6 @@ from .poisson import Poisson
 from .studentt import StudentT
 from .lognormal import LogNormal
 from .logitnormal import LogitNormal
+from .ssm import LinearGaussianSSM
 from .gp import GaussianProcess, ConditionalGaussianProcess
 from .gp import kernels as gp_kernels

@@ -27,6 +27,7 @@ EXAMPLES = [
     "svgp_multiclass.py",
     "lmc_multioutput.py",
     "matrix_completion.py",
+    "state_space_timeseries.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
