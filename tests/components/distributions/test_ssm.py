@@ -187,3 +187,35 @@ def test_forward_sampling_statistics():
     late = s[:, T // 2:, 0]
     np.testing.assert_allclose(late.var(), var_stat, rtol=0.15)
     np.testing.assert_allclose(late.mean(), 0.0, atol=0.1)
+
+
+def test_hmc_bayesian_noise_posterior():
+    # Bayesian structural variant: Gamma prior on the observation
+    # variance, HMC through the Kalman marginal likelihood (support
+    # bijector handles positivity; the SSM's latent path never appears
+    # as a sampled quantity)
+    from mxfusion_tpu.components.distributions import Gamma
+    from mxfusion_tpu.components.functions.operators import (
+        multiply, broadcast_to)
+    from mxfusion_tpu.inference.hmc import HMCInference, HMCAlgorithm
+    _, y = _simulate(seed=5, n_t=120)
+    m = Model()
+    m.r = Gamma.define_variable(alpha=2.0, beta=10.0, shape=(1,))
+    m.y = LinearGaussianSSM.define_variable(
+        A=Variable(value=A_TRUE), H=Variable(value=H_TRUE),
+        trans_cov=Variable(value=Q_TRUE),
+        obs_cov=multiply(broadcast_to(m.r, (1, 1)),
+                         Variable(value=np.eye(1))),
+        initial_mean=Variable(value=M0),
+        initial_cov=Variable(value=P0), shape=(120, E),
+        dtype="float64")
+    infr = HMCInference(HMCAlgorithm(
+        model=m, observed=[m.y], num_samples=200, num_chains=2,
+        num_warmup=200, num_leapfrog=8))
+    samples = infr.run(y=y, key=jax.random.PRNGKey(0))
+    r = np.asarray(samples[m.r.uuid]).reshape(-1)
+    assert np.all(r > 0)
+    # true observation variance is 0.1; the posterior must concentrate
+    # near it (prior mean 0.2)
+    assert 0.05 < r.mean() < 0.2, r.mean()
+    assert infr.diagnostics["accept_rate"].min() > 0.5
