@@ -25,13 +25,15 @@ import jax.numpy as jnp
 
 from .distribution import Distribution
 from ..variables.variable import Variable
-from ...ops.kalman import kalman_filter, lgssm_sample
+from ...ops.kalman import (kalman_filter, kalman_filter_parallel,
+                           lgssm_sample)
 
 
 class LinearGaussianSSM(Distribution):
 
     def __init__(self, A, H, trans_cov, obs_cov, initial_mean,
-                 initial_cov, rand_gen=None, dtype=None):
+                 initial_cov, parallel_filter=False, rand_gen=None,
+                 dtype=None):
         inputs = [("A", A), ("H", H), ("trans_cov", trans_cov),
                   ("obs_cov", obs_cov), ("initial_mean", initial_mean),
                   ("initial_cov", initial_cov)]
@@ -40,14 +42,25 @@ class LinearGaussianSSM(Distribution):
             input_names=[k for k, _ in inputs],
             output_names=["random_variable"],
             rand_gen=rand_gen, dtype=dtype)
+        # associative-scan filter: log-depth over T instead of a
+        # sequential scan — the right choice for long series on
+        # parallel hardware (measured verdict in benchmarks/NOTES.md)
+        self.parallel_filter = parallel_filter
+
+    def replicate_self(self, attribute_map=None):
+        replica = super().replicate_self(attribute_map)
+        replica.parallel_filter = self.parallel_filter
+        return replica
 
     def log_pdf_impl(self, random_variable, A, H, trans_cov, obs_cov,
                      initial_mean, initial_cov):
         y = random_variable                       # (s, T, E)
         s = y.shape[0]
+        filt = kalman_filter_parallel if self.parallel_filter \
+            else kalman_filter
 
         def one(y1, A1, H1, Q1, R1, m01, P01):
-            return kalman_filter(y1, A1, H1, Q1, R1, m01, P01)["loglik"]
+            return filt(y1, A1, H1, Q1, R1, m01, P01)["loglik"]
 
         def bc(a):
             return jnp.broadcast_to(a, (s,) + a.shape[1:])
@@ -82,10 +95,11 @@ class LinearGaussianSSM(Distribution):
 
     @classmethod
     def define_variable(cls, A, H, trans_cov, obs_cov, initial_mean,
-                        initial_cov, shape=None, rand_gen=None,
-                        dtype=None):
+                        initial_cov, shape=None, parallel_filter=False,
+                        rand_gen=None, dtype=None):
         dist = cls(A=A, H=H, trans_cov=trans_cov, obs_cov=obs_cov,
                    initial_mean=initial_mean, initial_cov=initial_cov,
-                   rand_gen=rand_gen, dtype=dtype)
+                   parallel_filter=parallel_filter, rand_gen=rand_gen,
+                   dtype=dtype)
         dist._generate_outputs(shape=shape)
         return dist.random_variable

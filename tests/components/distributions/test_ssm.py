@@ -219,3 +219,50 @@ def test_hmc_bayesian_noise_posterior():
     # near it (prior mean 0.2)
     assert 0.05 < r.mean() < 0.2, r.mean()
     assert infr.diagnostics["accept_rate"].min() > 0.5
+
+
+def test_parallel_filter_matches_sequential():
+    # the associative-scan filter must agree with the sequential scan
+    # on EVERY output (loglik, filtered/pred moments, predictives)
+    from mxfusion_tpu.ops.kalman import kalman_filter_parallel
+    rng = np.random.default_rng(7)
+    Dp, Ep, Tp = 3, 2, 64
+    Ap = rng.standard_normal((Dp, Dp)) * 0.3 + np.eye(Dp) * 0.5
+    Hp = rng.standard_normal((Ep, Dp))
+    Qp = np.eye(Dp) * 0.05 + np.ones((Dp, Dp)) * 0.01
+    Rp = np.eye(Ep) * 0.1
+    m0p = rng.standard_normal(Dp)
+    P0p = np.eye(Dp) * 0.7
+    y = rng.standard_normal((Tp, Ep))
+    a = kalman_filter(y, Ap, Hp, Qp, Rp, m0p, P0p)
+    b = kalman_filter_parallel(y, Ap, Hp, Qp, Rp, m0p, P0p)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-8, atol=1e-10,
+                                   err_msg=k)
+
+
+def test_parallel_filter_through_distribution():
+    _, y = _simulate(seed=8)
+    m_seq = _build(A_TRUE)
+    m_par = Model()
+    m_par.A = Variable(shape=(D, D), initial_value=A_TRUE)
+    m_par.y = LinearGaussianSSM.define_variable(
+        A=m_par.A, H=Variable(value=H_TRUE),
+        trans_cov=Variable(value=Q_TRUE),
+        obs_cov=Variable(value=R_TRUE),
+        initial_mean=Variable(value=M0),
+        initial_cov=Variable(value=P0), shape=(T, E),
+        parallel_filter=True, dtype="float64")
+    from mxfusion_tpu.inference import create_executor
+    vals = []
+    for m in (m_seq, m_par):
+        infr = GradBasedInference(MAP(model=m, observed=[m.y]),
+                                  dtype="float64")
+        infr.initialize(y=y)
+        ex = create_executor(infr._algorithm, infr.params)
+        loss, _, _ = ex(infr.params.trainable_params(),
+                        infr.params.fixed_params(), [y],
+                        jax.random.PRNGKey(0))
+        vals.append(float(np.asarray(loss)))
+    np.testing.assert_allclose(vals[0], vals[1], rtol=1e-9)
