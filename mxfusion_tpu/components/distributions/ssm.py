@@ -32,11 +32,20 @@ from ...ops.kalman import (kalman_filter, kalman_filter_parallel,
 class LinearGaussianSSM(Distribution):
 
     def __init__(self, A, H, trans_cov, obs_cov, initial_mean,
-                 initial_cov, parallel_filter=False, rand_gen=None,
-                 dtype=None):
+                 initial_cov, observation_mask=None,
+                 parallel_filter=False, rand_gen=None, dtype=None):
         inputs = [("A", A), ("H", H), ("trans_cov", trans_cov),
                   ("obs_cov", obs_cov), ("initial_mean", initial_mean),
                   ("initial_cov", initial_cov)]
+        if observation_mask is not None:
+            if parallel_filter:
+                raise ValueError(
+                    "observation_mask requires the sequential filter "
+                    "(parallel_filter=False).")
+            if not isinstance(observation_mask, Variable):
+                observation_mask = Variable(value=observation_mask)
+            inputs.append(("observation_mask", observation_mask))
+        self._has_mask = observation_mask is not None
         super().__init__(
             inputs=inputs, outputs=None,
             input_names=[k for k, _ in inputs],
@@ -50,20 +59,30 @@ class LinearGaussianSSM(Distribution):
     def replicate_self(self, attribute_map=None):
         replica = super().replicate_self(attribute_map)
         replica.parallel_filter = self.parallel_filter
+        replica._has_mask = self._has_mask
         return replica
 
     def log_pdf_impl(self, random_variable, A, H, trans_cov, obs_cov,
-                     initial_mean, initial_cov):
+                     initial_mean, initial_cov, observation_mask=None):
         y = random_variable                       # (s, T, E)
         s = y.shape[0]
         filt = kalman_filter_parallel if self.parallel_filter \
             else kalman_filter
 
-        def one(y1, A1, H1, Q1, R1, m01, P01):
-            return filt(y1, A1, H1, Q1, R1, m01, P01)["loglik"]
-
         def bc(a):
             return jnp.broadcast_to(a, (s,) + a.shape[1:])
+
+        if observation_mask is not None:
+            def one(y1, A1, H1, Q1, R1, m01, P01, mk):
+                return kalman_filter(y1, A1, H1, Q1, R1, m01, P01,
+                                     mask=mk)["loglik"]
+            return jax.vmap(one)(bc(y), bc(A), bc(H), bc(trans_cov),
+                                 bc(obs_cov), bc(initial_mean),
+                                 bc(initial_cov),
+                                 bc(observation_mask))
+
+        def one(y1, A1, H1, Q1, R1, m01, P01):
+            return filt(y1, A1, H1, Q1, R1, m01, P01)["loglik"]
 
         return jax.vmap(one)(bc(y), bc(A), bc(H), bc(trans_cov),
                              bc(obs_cov), bc(initial_mean),
@@ -71,7 +90,10 @@ class LinearGaussianSSM(Distribution):
 
     def draw_samples_impl(self, rv_shape, num_samples, key, A, H,
                           trans_cov, obs_cov, initial_mean,
-                          initial_cov):
+                          initial_cov, observation_mask=None):
+        # the mask marks which steps were OBSERVED in training; the
+        # generative process itself is unaffected, so simulation
+        # ignores it
         T = rv_shape[-2]
         keys = jax.random.split(key, num_samples)
 
@@ -95,10 +117,12 @@ class LinearGaussianSSM(Distribution):
 
     @classmethod
     def define_variable(cls, A, H, trans_cov, obs_cov, initial_mean,
-                        initial_cov, shape=None, parallel_filter=False,
-                        rand_gen=None, dtype=None):
+                        initial_cov, shape=None, observation_mask=None,
+                        parallel_filter=False, rand_gen=None,
+                        dtype=None):
         dist = cls(A=A, H=H, trans_cov=trans_cov, obs_cov=obs_cov,
                    initial_mean=initial_mean, initial_cov=initial_cov,
+                   observation_mask=observation_mask,
                    parallel_filter=parallel_filter, rand_gen=rand_gen,
                    dtype=dtype)
         dist._generate_outputs(shape=shape)

@@ -24,7 +24,7 @@ from .precision import einsum as p_einsum
 _LOG2PI = 1.8378770664093453
 
 
-def kalman_filter(y, A, H, Q, R, m0, P0):
+def kalman_filter(y, A, H, Q, R, m0, P0, mask=None):
     """Forward filter; returns a dict with
 
     - ``loglik``: scalar  log p(y_{0:T-1})
@@ -32,15 +32,25 @@ def kalman_filter(y, A, H, Q, R, m0, P0):
     - ``pred_means`` (T, D), ``pred_covs`` (T, D, D): p(x_t | y_{<t})
     - ``y_pred_means`` (T, E), ``y_pred_vars`` (T, E): one-step-ahead
       observation predictive (diagonal)
+
+    ``mask`` (T,) marks observed steps (1) vs missing (0): missing
+    steps contribute nothing to the likelihood and perform a pure
+    predict (their y values may be arbitrary placeholders, including
+    NaN-free garbage) — irregularly sampled series filter exactly.
     """
     y = jnp.asarray(y)
     A, H, Q, R, m0, P0 = (jnp.asarray(a, dtype=y.dtype)
                           for a in (A, H, Q, R, m0, P0))
     E = y.shape[-1]
     eye_d = jnp.eye(A.shape[-1], dtype=y.dtype)
+    if mask is None:
+        mask = jnp.ones(y.shape[0], dtype=y.dtype)
+    else:
+        mask = jnp.asarray(mask, dtype=y.dtype).reshape(y.shape[0])
 
-    def step(carry, y_t):
+    def step(carry, inp):
         m, P, first = carry
+        y_t, obs = inp
         # no transition into t=0: the prior N(m0, P0) IS the predictive
         m_pred = jnp.where(first, m, A @ m)
         AP = p_einsum("ij,jk->ik", A, P)
@@ -50,25 +60,29 @@ def kalman_filter(y, A, H, Q, R, m0, P0):
                      p_einsum("ij,jk->ik", H, P_pred),
                      H.T) + R
         L = jnp.linalg.cholesky(S)
-        innov = y_t - H @ m_pred
+        Hm = H @ m_pred
+        # sanitize the placeholder at missing steps BEFORE arithmetic
+        innov = jnp.where(obs > 0, y_t - Hm, jnp.zeros_like(y_t))
         alpha = jsl.cho_solve((L, True), innov)
         PHt = p_einsum("ij,kj->ik", P_pred, H)
         K = jsl.cho_solve((L, True), PHt.T).T
-        m_new = m_pred + K @ innov
+        m_new = m_pred + obs * (K @ innov)
         IKH = eye_d - K @ H
-        P_new = p_einsum("ij,kj->ik",
-                         p_einsum("ij,jk->ik", IKH, P_pred), IKH) \
+        P_up = p_einsum("ij,kj->ik",
+                        p_einsum("ij,jk->ik", IKH, P_pred), IKH) \
             + p_einsum("ij,jk,lk->il", K, R, K)
-        ll_t = -0.5 * (E * _LOG2PI
-                       + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-                       + innov @ alpha)
-        Hm = H @ m_pred
+        P_new = obs * P_up + (1.0 - obs) * P_pred
+        ll_t = obs * (-0.5 * (E * _LOG2PI
+                              + 2.0 * jnp.sum(jnp.log(
+                                  jnp.diagonal(L)))
+                              + innov @ alpha))
         y_var = jnp.diagonal(S)
         out = (m_new, P_new, m_pred, P_pred, Hm, y_var, ll_t)
         return (m_new, P_new, jnp.zeros((), bool)), out
 
     init = (m0, P0, jnp.ones((), bool))
-    _, (ms, Ps, mp, Pp, ym, yv, lls) = jax.lax.scan(step, init, y)
+    _, (ms, Ps, mp, Pp, ym, yv, lls) = jax.lax.scan(
+        step, init, (y, mask))
     return {"loglik": jnp.sum(lls), "filtered_means": ms,
             "filtered_covs": Ps, "pred_means": mp, "pred_covs": Pp,
             "y_pred_means": ym, "y_pred_vars": yv}

@@ -266,3 +266,66 @@ def test_parallel_filter_through_distribution():
                         jax.random.PRNGKey(0))
         vals.append(float(np.asarray(loss)))
     np.testing.assert_allclose(vals[0], vals[1], rtol=1e-9)
+
+
+def _np_filter_masked(y, mask, A, H, Q, R, m0, P0):
+    """Numpy filter skipping the update at masked-out steps."""
+    m, P, ll = m0.copy(), P0.copy(), 0.0
+    for t in range(len(y)):
+        if t > 0:
+            m = A @ m
+            P = A @ P @ A.T + Q
+        if mask[t] > 0:
+            S = H @ P @ H.T + R
+            innov = y[t] - H @ m
+            ll += -0.5 * (len(innov) * np.log(2 * np.pi)
+                          + np.linalg.slogdet(S)[1]
+                          + innov @ np.linalg.solve(S, innov))
+            K = P @ H.T @ np.linalg.inv(S)
+            m = m + K @ innov
+            P = (np.eye(len(m)) - K @ H) @ P
+    return ll
+
+
+def test_masked_filter_matches_numpy_and_ignores_placeholders():
+    rng = np.random.default_rng(9)
+    _, y = _simulate(seed=9)
+    mask = (rng.random(T) < 0.7).astype(np.float64)
+    ll_np = _np_filter_masked(y, mask, A_TRUE, H_TRUE, Q_TRUE, R_TRUE,
+                              M0, P0)
+    out = kalman_filter(y, A_TRUE, H_TRUE, Q_TRUE, R_TRUE, M0, P0,
+                        mask=mask)
+    np.testing.assert_allclose(float(out["loglik"]), ll_np, rtol=1e-10)
+    # poisoned placeholders at masked steps: bit-identical loglik
+    y_poison = np.where(mask[:, None] > 0, y, 1e12)
+    out2 = kalman_filter(y_poison, A_TRUE, H_TRUE, Q_TRUE, R_TRUE, M0,
+                         P0, mask=mask)
+    np.testing.assert_allclose(float(out2["loglik"]),
+                               float(out["loglik"]), rtol=1e-14)
+
+
+def test_masked_ssm_through_model_ir():
+    rng = np.random.default_rng(10)
+    _, y = _simulate(seed=10)
+    mask = (rng.random(T) < 0.6).astype(np.float64)
+    m = Model()
+    m.y = LinearGaussianSSM.define_variable(
+        A=Variable(value=A_TRUE), H=Variable(value=H_TRUE),
+        trans_cov=Variable(value=Q_TRUE),
+        obs_cov=Variable(value=R_TRUE),
+        initial_mean=Variable(value=M0),
+        initial_cov=Variable(value=P0),
+        observation_mask=Variable(value=mask), shape=(T, E),
+        dtype="float64")
+    infr = GradBasedInference(MAP(model=m, observed=[m.y]),
+                              dtype="float64")
+    infr.initialize(y=y)
+    from mxfusion_tpu.inference import create_executor
+    ex = create_executor(infr._algorithm, infr.params)
+    loss, _, _ = ex(infr.params.trainable_params(),
+                    infr.params.fixed_params(), [y],
+                    jax.random.PRNGKey(0))
+    ll_np = _np_filter_masked(y, mask, A_TRUE, H_TRUE, Q_TRUE, R_TRUE,
+                              M0, P0)
+    np.testing.assert_allclose(-float(np.asarray(loss)), ll_np,
+                               rtol=1e-10)
