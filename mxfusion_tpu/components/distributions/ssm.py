@@ -45,7 +45,6 @@ class LinearGaussianSSM(Distribution):
             if not isinstance(observation_mask, Variable):
                 observation_mask = Variable(value=observation_mask)
             inputs.append(("observation_mask", observation_mask))
-        self._has_mask = observation_mask is not None
         super().__init__(
             inputs=inputs, outputs=None,
             input_names=[k for k, _ in inputs],
@@ -59,34 +58,30 @@ class LinearGaussianSSM(Distribution):
     def replicate_self(self, attribute_map=None):
         replica = super().replicate_self(attribute_map)
         replica.parallel_filter = self.parallel_filter
-        replica._has_mask = self._has_mask
         return replica
 
     def log_pdf_impl(self, random_variable, A, H, trans_cov, obs_cov,
                      initial_mean, initial_cov, observation_mask=None):
         y = random_variable                       # (s, T, E)
         s = y.shape[0]
-        filt = kalman_filter_parallel if self.parallel_filter \
-            else kalman_filter
+        has_mask = observation_mask is not None
 
         def bc(a):
             return jnp.broadcast_to(a, (s,) + a.shape[1:])
 
-        if observation_mask is not None:
-            def one(y1, A1, H1, Q1, R1, m01, P01, mk):
+        def one(y1, A1, H1, Q1, R1, m01, P01, mk=None):
+            if mk is not None:
                 return kalman_filter(y1, A1, H1, Q1, R1, m01, P01,
                                      mask=mk)["loglik"]
-            return jax.vmap(one)(bc(y), bc(A), bc(H), bc(trans_cov),
-                                 bc(obs_cov), bc(initial_mean),
-                                 bc(initial_cov),
-                                 bc(observation_mask))
-
-        def one(y1, A1, H1, Q1, R1, m01, P01):
+            filt = kalman_filter_parallel if self.parallel_filter \
+                else kalman_filter
             return filt(y1, A1, H1, Q1, R1, m01, P01)["loglik"]
 
-        return jax.vmap(one)(bc(y), bc(A), bc(H), bc(trans_cov),
-                             bc(obs_cov), bc(initial_mean),
-                             bc(initial_cov))     # (s,)
+        args = [bc(y), bc(A), bc(H), bc(trans_cov), bc(obs_cov),
+                bc(initial_mean), bc(initial_cov)]
+        if has_mask:
+            args.append(bc(observation_mask))
+        return jax.vmap(one)(*args)               # (s,)
 
     def draw_samples_impl(self, rv_shape, num_samples, key, A, H,
                           trans_cov, obs_cov, initial_mean,

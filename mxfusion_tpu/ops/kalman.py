@@ -161,15 +161,23 @@ def kalman_filter_parallel(y, A, H, Q, R, m0, P0):
     D = A.shape[-1]
     E = y.shape[-1]
     eye_d = jnp.eye(D, dtype=y.dtype)
-    # every product below feeds covariance algebra that ends in a
-    # Cholesky — pin full precision (TPU matmuls default to bf16
-    # passes, CLAUDE.md)
-    with jax.default_matmul_precision("highest"):
-        return _kalman_filter_parallel(y, A, H, Q, R, m0, P0, T, D, E,
-                                       eye_d)
+    return _kalman_filter_parallel(y, A, H, Q, R, m0, P0, T, D, E,
+                                   eye_d)
 
 
 def _kalman_filter_parallel(y, A, H, Q, R, m0, P0, T, D, E, eye_d):
+    # Every product here feeds covariance algebra ending in a Cholesky
+    # — pin full precision INSIDE this function so it is bf16-safe
+    # standalone (TPU matmuls default to bf16 passes, CLAUDE.md; the
+    # context also covers the solve/LU internals, which the pinned
+    # einsum wrapper cannot reach)
+    with jax.default_matmul_precision("highest"):
+        return _kalman_filter_parallel_impl(y, A, H, Q, R, m0, P0, T,
+                                            D, E, eye_d)
+
+
+def _kalman_filter_parallel_impl(y, A, H, Q, R, m0, P0, T, D, E,
+                                 eye_d):
     # generic element (t >= 1): predictive covariance entering the
     # element is Q (conditioning on x_{t-1} is exact)
     S = H @ Q @ H.T + R
@@ -224,8 +232,7 @@ def _kalman_filter_parallel(y, A, H, Q, R, m0, P0, T, D, E, eye_d):
     mp = jnp.concatenate([m0[None], ms[:-1] @ A.T])
     Pp = jnp.concatenate([P0[None],
                           A @ Ps[:-1] @ A.T + Q])
-    Sp = H @ Pp @ jnp.swapaxes(
-        jnp.broadcast_to(H, (T,) + H.shape), -1, -2) + R
+    Sp = (H @ Pp) @ H.T + R
     innov = y - mp @ H.T
     Lp = jnp.linalg.cholesky(Sp)
     alpha = jsl.cho_solve((Lp, True), innov[..., None])[..., 0]
