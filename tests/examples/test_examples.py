@@ -28,6 +28,7 @@ EXAMPLES = [
     "lmc_multioutput.py",
     "matrix_completion.py",
     "state_space_timeseries.py",
+    "parallel_tempering.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
