@@ -39,6 +39,7 @@ from ...inference.variational import VariationalInference
 from ...inference.inference_alg import SamplingAlgorithm
 from ...inference.forward_sampling import ForwardSamplingAlgorithm
 from ...ops.precision import einsum as p_einsum
+from ...ops.linalg import make_diagonal
 from .svgp_classification import _q_f_moments, _neg_kl
 
 
@@ -89,27 +90,45 @@ class LMCSVGPLogPdf(VariationalInference):
 
 
 class LMCSVGPMeanVariancePrediction(SamplingAlgorithm):
-    """Predictive per-output moments {Y: (mean, var)}, both (s, N, C);
-    diagonal over both N and C (the cross-output covariance
-    var_n · W_:c^T W_:c' is not materialized)."""
+    """Predictive per-output moments {Y: (mean, var)} with mean
+    (s, N, C); ``var`` is (s, N, C) (diagonal over outputs, default)
+    or, with ``full_output_cov=True``, the (s, N, C, C) per-point
+    cross-output covariance  var_n · W^T W  — the coregionalization
+    structure itself (still diagonal over N)."""
 
     def __init__(self, model, posterior, observed, noise_free=True,
-                 jitter=0.0, whitened=False):
+                 full_output_cov=False, jitter=0.0, whitened=False):
         super().__init__(model=model, observed=observed,
                          extra_graphs=[posterior])
         self.noise_free = noise_free
+        self.full_output_cov = full_output_cov
         self.jitter = jitter
         self.whitened = whitened
 
     def compute(self, env, ctx):
         posterior = self._extra_graphs[0]
-        mean, var, _, _, _, noise_var = _mixed_moments(
-            env, self.model, posterior, self.jitter, self.whitened)
-        if not self.noise_free:
-            nv = noise_var if noise_var.ndim == 3 \
-                else noise_var[..., None, :]
-            var = var + nv
-        outcomes = {self.model.Y.uuid: (mean, var)}
+        mu_g, var_g, _, _ = _q_f_moments(
+            env, self.model, posterior, self.jitter, self.whitened,
+            keep_columns=True)
+        (W, noise_var) = arrays_as_samples(
+            [env[self.model.mixing_matrix], env[self.model.noise_var]])
+        mean = p_einsum("...nq,...qc->...nc", mu_g, W)
+        nv = noise_var if noise_var.ndim == 3 \
+            else noise_var[..., None, :]
+        if self.full_output_cov:
+            WtW = p_einsum("...qc,...qd->...cd", W, W)      # (s, C, C)
+            cov = var_g[..., None, None] * WtW[..., None, :, :]
+            if not self.noise_free:
+                cov = cov + make_diagonal(
+                    jnp.broadcast_to(nv, mean.shape))
+            out = (mean, cov)
+        else:
+            w2 = jnp.sum(jnp.square(W), axis=-2)            # (s, C)
+            var = var_g[..., None] * w2[..., None, :]
+            if not self.noise_free:
+                var = var + nv
+            out = (mean, var)
+        outcomes = {self.model.Y.uuid: out}
         if self.target_variables:
             return tuple(outcomes[v] for v in self.target_variables)
         return outcomes

@@ -248,3 +248,53 @@ def test_lmc_forward_sampling_shapes():
     s = np.asarray(out[0])
     assert s.shape == (6, N, C)
     assert np.isfinite(s).all()
+
+
+def test_lmc_full_output_covariance():
+    # full cross-output covariance: var_n * W^T W (+ noise diag), with
+    # the diagonal equal to the diagonal-variance path
+    from mxfusion_tpu.modules.gp_modules.lmc_svgp import \
+        LMCSVGPMeanVariancePrediction
+    from mxfusion_tpu.inference import TransferInference
+    rng = np.random.default_rng(11)
+    N, ls, var, nv = 9, 1.1, 0.8, 0.05
+    X = rng.random((N, 2)) * 4
+    Y = rng.standard_normal((N, C))
+    Xt = rng.random((7, 2)) * 4
+    Z0 = rng.random((M_IND, 2)) * 4
+    Wmix = rng.standard_normal((Q, C))
+    m = _build(ls, var, Z0, Wmix, nv)
+    alg0 = MAP(model=m, observed=[m.X, m.Y])
+    infr = GradBasedInference(inference_algorithm=alg0,
+                              dtype="float64")
+    infr.initialize(X=X, Y=Y)
+    qU_mean, W, diag = _set_q(infr, m, seed=13)
+
+    mod = m.Y.factor
+    alg = LMCSVGPMeanVariancePrediction(
+        mod._module_graph, mod._extra_graphs[0],
+        [v for _, v in mod.inputs], noise_free=False,
+        full_output_cov=True)
+    alg.target_variables = [mod._module_graph.Y.uuid]
+    pred = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+        infr_params=infr.params, dtype="float64")
+    mu_d, var_d = pred.run(X=Xt)[0]           # diagonal path
+
+    from mxfusion_tpu.inference import create_sampling_executor
+    ex = create_sampling_executor(alg, infr.params)
+    (mu_f, cov_f) = ex(infr.params.trainable_params(),
+                       infr.params.fixed_params(), [np.asarray(Xt)],
+                       jax.random.PRNGKey(0))[0]
+    mu_f, cov_f = np.asarray(mu_f)[0], np.asarray(cov_f)[0]
+    np.testing.assert_allclose(mu_f, np.asarray(mu_d)[0], rtol=1e-10)
+
+    mu_g, var_g, _, _ = _numpy_q_moments(Xt, Z0, ls, var, qU_mean, W,
+                                         diag)
+    cov_np = var_g[:, None, None] * (Wmix.T @ Wmix)[None] \
+        + np.eye(C) * nv
+    np.testing.assert_allclose(cov_f, cov_np, rtol=1e-7, atol=1e-10)
+    # diagonal agrees with the diagonal-variance path + noise
+    np.testing.assert_allclose(
+        np.diagonal(cov_f, axis1=-2, axis2=-1),
+        np.asarray(var_d)[0] + nv, rtol=1e-7)
