@@ -20,5 +20,6 @@ from .studentt import StudentT
 from .lognormal import LogNormal
 from .logitnormal import LogitNormal
 from .ssm import LinearGaussianSSM
+from .ar1 import GaussianAR1
 from .gp import GaussianProcess, ConditionalGaussianProcess
 from .gp import kernels as gp_kernels
