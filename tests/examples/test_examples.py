@@ -29,6 +29,7 @@ EXAMPLES = [
     "matrix_completion.py",
     "state_space_timeseries.py",
     "parallel_tempering.py",
+    "stochastic_volatility.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
