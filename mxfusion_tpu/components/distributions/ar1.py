@@ -36,8 +36,25 @@ class GaussianAR1(UnivariateDistribution):
             output_names=["random_variable"],
             rand_gen=rand_gen, dtype=dtype)
 
+    @staticmethod
+    def _check_time_constant(**params):
+        # a (T,)-shaped parameter would silently broadcast lp0 across
+        # the time axis (T spurious initial-state terms) and the
+        # sampler would silently use only its t=0 value — reject at
+        # trace time instead
+        for name, p in params.items():
+            if p.shape[-1] != 1:
+                raise ValueError(
+                    "GaussianAR1 parameters are time-constant; '{}' "
+                    "has trailing (time-aligned) dim {} != 1. Reshape "
+                    "it to broadcast over leading axes only.".format(
+                        name, p.shape[-1]))
+
     def log_pdf_impl(self, random_variable, phi, noise_var, init_mean,
                      init_var):
+        self._check_time_constant(phi=phi, noise_var=noise_var,
+                                  init_mean=init_mean,
+                                  init_var=init_var)
         x = random_variable                        # (..., T)
         x0 = x[..., :1]
         lp0 = -0.5 * (_LOG2PI + jnp.log(init_var)
@@ -49,6 +66,9 @@ class GaussianAR1(UnivariateDistribution):
 
     def draw_samples_impl(self, rv_shape, num_samples, key, phi,
                           noise_var, init_mean, init_var):
+        self._check_time_constant(phi=phi, noise_var=noise_var,
+                                  init_mean=init_mean,
+                                  init_var=init_var)
         shape = (num_samples,) + rv_shape          # (..., T)
         eps = self._rand_gen.sample_normal(key, shape=shape,
                                            dtype=self.dtype)

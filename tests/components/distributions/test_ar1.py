@@ -90,3 +90,24 @@ def test_stochastic_volatility_hmc_recovers_latent_path():
     corr = np.corrcoef(x_mean, x)[0, 1]
     assert corr > 0.5, corr
     assert infr.diagnostics["accept_rate"].min() > 0.5
+
+
+def test_ar1_rejects_time_shaped_parameters():
+    import pytest
+    T = 10
+    inputs = {n: V() for n in ("phi", "noise_var", "init_mean",
+                               "init_var")}
+    dist = GaussianAR1(dtype="float64", **inputs)
+    dist._generate_outputs(shape=(T,))
+    env = {inputs["phi"].uuid: prepare_runtime_array(
+               np.full(T, 0.9), False, "float64"),   # (T,): invalid
+           inputs["noise_var"].uuid: prepare_runtime_array(
+               np.array(0.1), False, "float64"),
+           inputs["init_mean"].uuid: prepare_runtime_array(
+               np.array(0.0), False, "float64"),
+           inputs["init_var"].uuid: prepare_runtime_array(
+               np.array(1.0), False, "float64"),
+           dist.random_variable.uuid: prepare_runtime_array(
+               np.zeros((2, T)), True, "float64")}
+    with pytest.raises(ValueError, match="time-constant"):
+        dist.log_pdf(env)
