@@ -135,3 +135,41 @@ def test_export_before_predict_needs_example(tmp_path):
     served = load_exported_predictor(path)
     mu, var = served.predict(X=Xt)[0]
     assert np.asarray(mu).shape[-2] == 20
+
+
+def test_batched_predictor_multioutput_lmc():
+    # multi-output (C=3) module through the chunked server: (s, N, C)
+    # means and diagonal variances concatenate on the right axis and
+    # match the direct predictor (f32 reassociation tolerance)
+    from mxfusion_tpu.modules import LMCSVGPRegression
+    rng = np.random.default_rng(0)
+    N, C, Q = 60, 3, 2
+    X = np.sort(rng.random((N, 1)) * 6, 0)
+    G = np.stack([np.sin(X[:, 0]), np.cos(1.3 * X[:, 0])], -1)
+    Y = G @ np.array([[1.0, 0.5, -1.0], [0.2, -0.8, 0.4]]) \
+        + rng.standard_normal((N, C)) * 0.05
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, 1))
+    m.Y = LMCSVGPRegression.define_variable(
+        X=m.X, kernel=RBF(input_dim=1), num_outputs=C, num_latents=Q,
+        shape=(m.n, C),
+        inducing_inputs=Variable(
+            shape=(10, 1),
+            initial_value=np.linspace(0.1, 5.9, 10)[:, None]))
+    infr = GradBasedInference(MAP(model=m, observed=[m.X, m.Y]))
+    infr.run(X=X, Y=Y, max_iter=60, learning_rate=0.05, verbose=False)
+    Xt = np.linspace(0.0, 6.0, 37)[:, None]   # not a chunk multiple
+    direct = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+        infr_params=infr.params)
+    mu_d, var_d = direct.run(X=Xt)[0]
+    bp = BatchedPredictor(model=m, infr_params=infr.params,
+                          observed=[m.X], target_variables=[m.Y.uuid],
+                          chunk_size=16)
+    mu_b, var_b = bp.predict(X=Xt)[0]
+    assert np.asarray(mu_b).shape == (1, 37, C)
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_d),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_d),
+                               rtol=1e-4, atol=1e-7)
