@@ -31,6 +31,8 @@ from .svgd import SVGDAlgorithm, SVGDInference
 from .chees import ChEESHMCAlgorithm, ChEESHMCInference
 from .tempering import (ParallelTemperingAlgorithm,
                         ParallelTemperingInference)
+from .evidence import (PowerPosteriorAlgorithm,
+                       PowerPosteriorInference)
 from .model_comparison import (pointwise_log_likelihood, waic,
                                loo_psis, posterior_predictive_check)
 from .natural_gradient import NaturalGradientLoop, \
