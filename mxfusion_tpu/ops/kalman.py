@@ -244,3 +244,48 @@ def _kalman_filter_parallel_impl(y, A, H, Q, R, m0, P0, T, D, E,
             "filtered_covs": Ps, "pred_means": mp, "pred_covs": Pp,
             "y_pred_means": mp @ H.T,
             "y_pred_vars": jnp.diagonal(Sp, axis1=-2, axis2=-1)}
+
+
+def rts_smoother_parallel(filtered_means, filtered_covs, pred_means,
+                          pred_covs, A):
+    """Parallel-in-time RTS smoother via ``lax.associative_scan``
+    (Särkkä & García-Fernández 2021, smoothing elements §IV): each
+    element a_t = (E_t, g_t, L_t) parameterizes
+    p(x_t | y_{1:t}, x_{t+1}) = N(E_t x_{t+1} + g_t, L_t); the
+    REVERSED all-prefix combine yields every smoothing marginal at log
+    depth. Matches :func:`rts_smoother` (tested)."""
+    ms = jnp.asarray(filtered_means)
+    A = jnp.asarray(A, dtype=ms.dtype)
+    Ps = jnp.asarray(filtered_covs, dtype=ms.dtype)
+    mp = jnp.asarray(pred_means, dtype=ms.dtype)
+    Pp = jnp.asarray(pred_covs, dtype=ms.dtype)
+    with jax.default_matmul_precision("highest"):
+        # smoother gains G_t = P_t A^T Pp_{t+1}^{-1} for t < T-1
+        Lp = jnp.linalg.cholesky(Pp[1:])
+        PAt = Ps[:-1] @ A.T
+        G = jsl.cho_solve((Lp, True),
+                          jnp.swapaxes(PAt, -1, -2))
+        G = jnp.swapaxes(G, -1, -2)                      # (T-1, D, D)
+        E = G
+        g = ms[:-1] - (G @ mp[1:, :, None])[..., 0]
+        L = Ps[:-1] - G @ Pp[1:] @ jnp.swapaxes(G, -1, -2)
+        # terminal element: the filtered marginal itself (E = 0)
+        D = ms.shape[-1]
+        E_all = jnp.concatenate(
+            [E, jnp.zeros((1, D, D), ms.dtype)])
+        g_all = jnp.concatenate([g, ms[-1:]])
+        L_all = jnp.concatenate([L, Ps[-1:]])
+
+        def combine(a, b):
+            # reverse-mode associative_scan passes the LATER-time
+            # accumulator as `a` and the earlier element as `b`; the
+            # smoothing composition is earlier ∘ later
+            E2, g2, L2 = a                  # later
+            E1, g1, L1 = b                  # earlier
+            return (E1 @ E2,
+                    (E1 @ g2[..., None])[..., 0] + g1,
+                    E1 @ L2 @ jnp.swapaxes(E1, -1, -2) + L1)
+
+        E_s, m_s, P_s = jax.lax.associative_scan(
+            combine, (E_all, g_all, L_all), axis=0, reverse=True)
+    return m_s, P_s

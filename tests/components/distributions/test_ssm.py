@@ -329,3 +329,20 @@ def test_masked_ssm_through_model_ir():
                               M0, P0)
     np.testing.assert_allclose(-float(np.asarray(loss)), ll_np,
                                rtol=1e-10)
+
+
+def test_parallel_smoother_matches_sequential():
+    from mxfusion_tpu.ops.kalman import rts_smoother_parallel
+    rng = np.random.default_rng(12)
+    _, y = _simulate(seed=12)
+    out = kalman_filter(y, A_TRUE, H_TRUE, Q_TRUE, R_TRUE, M0, P0)
+    sm_seq, sP_seq = rts_smoother(
+        out["filtered_means"], out["filtered_covs"],
+        out["pred_means"], out["pred_covs"], A_TRUE)
+    sm_par, sP_par = rts_smoother_parallel(
+        out["filtered_means"], out["filtered_covs"],
+        out["pred_means"], out["pred_covs"], A_TRUE)
+    np.testing.assert_allclose(np.asarray(sm_par), np.asarray(sm_seq),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sP_par), np.asarray(sP_seq),
+                               rtol=1e-7, atol=1e-10)
