@@ -268,7 +268,8 @@ def rts_smoother_parallel(filtered_means, filtered_covs, pred_means,
         G = jnp.swapaxes(G, -1, -2)                      # (T-1, D, D)
         E = G
         g = ms[:-1] - (G @ mp[1:, :, None])[..., 0]
-        L = Ps[:-1] - G @ Pp[1:] @ jnp.swapaxes(G, -1, -2)
+        # G Pp G^T == (Ps A^T) G^T exactly (G = Ps A^T Pp^{-1})
+        L = Ps[:-1] - PAt @ jnp.swapaxes(G, -1, -2)
         # terminal element: the filtered marginal itself (E = 0)
         D = ms.shape[-1]
         E_all = jnp.concatenate(

@@ -333,7 +333,6 @@ def test_masked_ssm_through_model_ir():
 
 def test_parallel_smoother_matches_sequential():
     from mxfusion_tpu.ops.kalman import rts_smoother_parallel
-    rng = np.random.default_rng(12)
     _, y = _simulate(seed=12)
     out = kalman_filter(y, A_TRUE, H_TRUE, Q_TRUE, R_TRUE, M0, P0)
     sm_seq, sP_seq = rts_smoother(
