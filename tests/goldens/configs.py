@@ -232,6 +232,41 @@ def lmc_multioutput():
     return losses
 
 
+@_f64
+def ssm_map():
+    """LGSSM transition-matrix MAP fit (r3 temporal family; pins the
+    Kalman-filter density and its gradient path)."""
+    from mxfusion_tpu.components.distributions import LinearGaussianSSM
+    T = 60
+    rng = np.random.default_rng(41)
+    A_true = np.array([[0.9, 0.2], [0.0, 0.7]])
+    H = np.array([[1.0, 0.5]])
+    Q = np.eye(2) * 0.05
+    R = np.eye(1) * 0.1
+    x = np.zeros((T, 2))
+    x[0] = rng.standard_normal(2)
+    for t in range(1, T):
+        x[t] = A_true @ x[t - 1] + rng.multivariate_normal(
+            np.zeros(2), Q)
+    y = x @ H.T + rng.multivariate_normal(np.zeros(1), R, size=T)
+
+    m = Model()
+    m.A = Variable(shape=(2, 2), initial_value=np.eye(2) * 0.5)
+    m.y = LinearGaussianSSM.define_variable(
+        A=m.A, H=Variable(value=H), trans_cov=Variable(value=Q),
+        obs_cov=Variable(value=R),
+        initial_mean=Variable(value=np.zeros(2)),
+        initial_cov=Variable(value=np.eye(2)), shape=(T, 1),
+        dtype="float64")
+    infr = GradBasedInference(
+        MAP(model=m, observed=[m.y]), dtype="float64")
+    losses = []
+    infr.run(y=y, max_iter=50, learning_rate=0.05, verbose=False,
+             key=jax.random.PRNGKey(17),
+             callback=lambda i, l: losses.append(float(l)))
+    return losses
+
+
 CONFIGS = {
     "ppca_svi": ppca_svi,
     "meanfield_linreg": meanfield_linreg,
@@ -239,4 +274,5 @@ CONFIGS = {
     "svgp_minibatch": svgp_minibatch,
     "svgp_classification": svgp_classification,
     "lmc_multioutput": lmc_multioutput,
+    "ssm_map": ssm_map,
 }
