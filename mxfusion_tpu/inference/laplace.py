@@ -23,7 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .inference_alg import create_executor, RuntimeContext
+from .inference_alg import (create_executor, RuntimeContext,
+                            VariableEnv)
 from ..common.exceptions import InferenceError
 from ..components.variables.variable import VariableType
 
@@ -100,7 +101,9 @@ def laplace_approximation(map_inference, key=None, **data):
     d = sum(sizes)
 
     def neg_logp(flat):
-        env = dict(base_env)
+        # VariableEnv, not dict: module algorithms resolve Variable
+        # keys (plain-dict copies KeyError on module-containing models)
+        env = VariableEnv(base_env)
         off = 0
         for u, sz in zip(uuids, sizes):
             # leading sample axis of size 1, as the runtime convention

@@ -65,3 +65,45 @@ def test_ti_requires_two_rungs():
         rate=broadcast_to(m.tau, (5, 1)), shape=(5, 1))
     with pytest.raises(ValueError, match="num_temps"):
         PowerPosteriorAlgorithm(model=m, observed=[m.y], num_temps=1)
+
+
+def test_ti_evidence_agrees_with_laplace_on_gp_module():
+    # no closed form here: a GP-module marginal likelihood with a
+    # Gamma prior on the noise — two INDEPENDENT evidence estimators
+    # (quadratic approximation vs thermodynamic integration) must
+    # agree within Laplace's O(1/n) error budget
+    from mxfusion_tpu.components.distributions.gp.kernels import RBF
+    from mxfusion_tpu.modules import GPRegression
+    from mxfusion_tpu.inference import GradBasedInference, MAP
+    from mxfusion_tpu.inference.laplace import laplace_approximation
+    rng = np.random.default_rng(3)
+    N = 40
+    X = np.sort(rng.random((N, 1)) * 4, 0)
+    Y = np.sin(2 * X) + rng.standard_normal((N, 1)) * 0.1
+
+    def build():
+        m = Model()
+        m.n = __import__("mxfusion_tpu").Variable()
+        m.X = __import__("mxfusion_tpu").Variable(shape=(m.n, 1))
+        m.noise_var = Gamma.define_variable(alpha=2.0, beta=20.0,
+                                            shape=(1,))
+        m.Y = GPRegression.define_variable(
+            X=m.X, kernel=RBF(input_dim=1, variance=1.0,
+                              lengthscale=1.0),
+            noise_var=m.noise_var, shape=(m.n, 1))
+        return m
+
+    m1 = build()
+    map_infr = GradBasedInference(MAP(model=m1, observed=[m1.X, m1.Y]))
+    map_infr.run(X=X, Y=Y, max_iter=1500, learning_rate=0.03,
+                 verbose=False)
+    lap = laplace_approximation(map_infr, X=X, Y=Y)
+
+    m2 = build()
+    ti = PowerPosteriorInference(PowerPosteriorAlgorithm(
+        model=m2, observed=[m2.X, m2.Y], num_samples=600,
+        num_warmup=400, num_chains=2, num_temps=16))
+    ti.run(X=X, Y=Y, key=jax.random.PRNGKey(5))
+    # one scalar latent: Laplace is accurate to O(1/curvature) here
+    np.testing.assert_allclose(ti.log_evidence, lap.log_evidence,
+                               atol=0.3)
