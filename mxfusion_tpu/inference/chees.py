@@ -249,6 +249,9 @@ class ChEESHMCInference(Inference):
         samples, diagnostics = out
         self.diagnostics = {k: np.asarray(v)
                             for k, v in diagnostics.items()}
+        from .hmc import _chain_convergence_diagnostics
+        self.diagnostics.update(
+            _chain_convergence_diagnostics(samples))
         self._samples = samples
         return samples
 

@@ -286,6 +286,9 @@ class PowerPosteriorInference(Inference):
         samples, diagnostics = out
         self.diagnostics = {k: np.asarray(v)
                             for k, v in diagnostics.items()}
+        from .hmc import _chain_convergence_diagnostics
+        self.diagnostics.update(
+            _chain_convergence_diagnostics(samples))
         self.log_evidence = float(self.diagnostics["log_evidence"])
         self._samples = samples
         return samples

@@ -415,16 +415,30 @@ class HMCAlgorithm(SamplingAlgorithm):
         return samples, diagnostics
 
 
+def _chain_convergence_diagnostics(samples):
+    """Split R-hat per latent plus the worst value across all latents
+    and dimensions — the at-a-glance convergence summary every
+    multi-chain driver attaches to its diagnostics."""
+    r_hat = {u: np.asarray(potential_scale_reduction(a))
+             for u, a in samples.items()
+             if np.asarray(a).shape[:2][0] >= 4}
+    out = {"r_hat": r_hat}
+    if r_hat:
+        out["r_hat_max"] = float(max(np.max(v) for v in r_hat.values()))
+    return out
+
+
 class HMCInference(Inference):
     """Driver: ``run(**data)`` returns the posterior sample dict and
-    stores ``.diagnostics`` (accept_rate per chain, adapted step size).
+    stores ``.diagnostics`` (accept_rate per chain, adapted step size,
+    split R-hat per latent and its max across latents).
 
     Example::
 
         infr = HMCInference(HMCAlgorithm(model=m, observed=[m.y],
                                          num_samples=500, num_chains=4))
         samples = infr.run(y=y)[q_uuid]      # (500, 4, *event)
-        infr.diagnostics["accept_rate"]
+        infr.diagnostics["accept_rate"], infr.diagnostics["r_hat_max"]
     """
 
     def run(self, key=None, **kwargs):
@@ -432,6 +446,8 @@ class HMCInference(Inference):
         samples, diagnostics = out
         self.diagnostics = {k: np.asarray(v)
                             for k, v in diagnostics.items()}
+        self.diagnostics.update(
+            _chain_convergence_diagnostics(samples))
         self._samples = samples
         return samples
 

@@ -252,6 +252,9 @@ class SGLDInference(Inference):
             data, key)
         self.diagnostics = {k: np.asarray(v)
                             for k, v in diagnostics.items()}
+        from .hmc import _chain_convergence_diagnostics
+        self.diagnostics.update(
+            _chain_convergence_diagnostics(samples))
         self._samples = samples
         return samples
 

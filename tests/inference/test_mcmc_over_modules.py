@@ -211,3 +211,15 @@ def test_hmc_dirichlet_categorical_conjugate():
     np.testing.assert_allclose(p.mean(0), alpha_post / a0, atol=0.02)
     var_exact = alpha_post * (a0 - alpha_post) / (a0 ** 2 * (a0 + 1))
     np.testing.assert_allclose(p.var(0), var_exact, rtol=0.3)
+
+
+def test_drivers_attach_rhat_diagnostics():
+    m, X, Y = _gp_model()
+    infr = HMCInference(HMCAlgorithm(
+        model=m, observed=[m.X, m.Y], num_samples=100, num_chains=2,
+        num_warmup=100))
+    infr.run(X=X, Y=Y, key=jax.random.PRNGKey(0))
+    assert "r_hat_max" in infr.diagnostics
+    assert infr.diagnostics["r_hat_max"] < 1.2
+    (rh,) = infr.diagnostics["r_hat"].values()
+    assert np.all(np.asarray(rh) > 0.9)
