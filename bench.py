@@ -8,11 +8,14 @@ Emits ONE JSON line with two tiers:
    (B=1024, M=128, D=8, float32) — small by design, dominated by
    dispatch latency; kept byte-compatible for round-over-round
    comparison (r1: 4830.91, r2: 6529.06).
-2. Compute-bound tier (``compute_bound``): ms/step, TFLOP/s and
-   %-of-ceiling at the production shape (B=65536, M=512, D=32),
-   paired with a matmul-ceiling measurement taken in the SAME process
-   (benchmarks/roofline.py machinery) — the number the BASELINE.json
-   north star (">=70% of roofline") is actually about.
+2. Compute-bound tier (``compute_bound``): ms/step and TFLOP/s at the
+   production shape (B=65536, M=512, D=32) at the library-default
+   data precision ("high" since r4), plus a HIGHEST-pinned run whose
+   %-of-ceiling against a matmul ceiling measured in the SAME process
+   (benchmarks/roofline.py machinery) is the PRIMARY REGRESSION GATE:
+   the script exits nonzero if it drops below the BASELINE.json north
+   star's 70%. Both runs execute at both precisions each round so the
+   default-mode speedup stays measured.
 
 The Kuu/Kuf kernel matrices are assembled by the XLA-fused jnp path
 (the Pallas variant defaults OFF: measured ~5% slower because
@@ -131,38 +134,53 @@ def main():
     print("device: {}, final loss: {:.2f}".format(
         jax.devices()[0], float(loss)), file=sys.stderr)
 
-    # ---- compute-bound tier: production shape vs in-process ceiling
+    # ---- compute-bound tier: production shape vs in-process ceiling.
+    # THE PRIMARY REGRESSION GATE (r4, VERDICT item 6): the
+    # HIGHEST-pinned MFU at the production shape must stay >= 70% of
+    # the in-process f32-HIGHEST matmul ceiling (BASELINE.json north
+    # star). A failed gate exits nonzero AFTER printing the JSON line,
+    # so an MFU regression cannot hide behind the latency-bound
+    # headline. The default-mode run (data_precision="high", the
+    # library default since r4 — measured 1.55x, convergence
+    # equivalent) is reported as the ms/step users actually get.
     compute_bound = None
+    mfu_gate_ok = True
     try:
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
         import contextlib
         import roofline
+        from mxfusion_tpu.ops import precision
         with contextlib.redirect_stdout(sys.stderr):
             # keep stdout = exactly one JSON line for the driver
             ceiling = roofline.measure_matmul_ceiling(
                 4096, "float32", "HIGHEST", iters=32)
-            sec, tflops = roofline.run_svgp_config(
+            # library default ("high" since r4): what users get
+            sec_def, tflops_def = roofline.run_svgp_config(
                 65536, 512, 32, steps=50, ceiling_tflops=ceiling)
-            # recommended fast mode: data-side contractions at "high"
-            # (3-pass bf16; convergence-equivalent, NOTES.md) — same
-            # analytic FLOPs against the same f32-HIGHEST ceiling, so
-            # pct can exceed 100
-            from mxfusion_tpu.ops.precision import set_data_precision
-            set_data_precision("high")
+            # HIGHEST-pinned: apples-to-apples vs the f32-HIGHEST
+            # ceiling — this is the gated MFU
+            precision.set_data_precision("highest")
             try:
-                sec_hi, tflops_hi = roofline.run_svgp_config(
+                sec, tflops = roofline.run_svgp_config(
                     65536, 512, 32, steps=50, ceiling_tflops=ceiling)
             finally:
-                set_data_precision("highest")
+                precision.set_data_precision(
+                    precision.DEFAULT_DATA_PRECISION)
+        pct = 100.0 * tflops / ceiling
+        mfu_gate_ok = pct >= 70.0
         compute_bound = {
             "config": "svgp_step_b65536_m512_d32_f32",
-            "ms_per_step": round(sec * 1e3, 3),
-            "tflops": round(tflops, 2),
+            "ms_per_step": round(sec_def * 1e3, 3),
+            "tflops": round(tflops_def, 2),
+            "data_precision": "high (library default)",
+            "ms_per_step_highest": round(sec * 1e3, 3),
+            "tflops_highest": round(tflops, 2),
             "ceiling_tflops_f32_highest": round(ceiling, 2),
-            "pct_of_ceiling": round(100.0 * tflops / ceiling, 1),
-            "ms_per_step_data_precision_high": round(sec_hi * 1e3, 3),
-            "speedup_data_precision_high": round(sec / sec_hi, 2),
+            "pct_of_ceiling": round(pct, 1),
+            "mfu_gate": {"threshold_pct": 70.0,
+                         "pass": bool(mfu_gate_ok)},
+            "speedup_default_vs_highest": round(sec / sec_def, 2),
         }
     except Exception as e:  # never lose the legacy metric
         print("compute-bound tier failed: {!r}".format(e),
@@ -176,6 +194,10 @@ def main():
                              CPU_BASELINE_STEPS_PER_SEC, 2),
         "compute_bound": compute_bound,
     }))
+    if not mfu_gate_ok:
+        print("MFU GATE FAILED: {:.1f}% < 70% of f32-HIGHEST ceiling"
+              .format(pct), file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

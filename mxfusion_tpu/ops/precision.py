@@ -24,29 +24,37 @@ def einsum(equation, *operands):
 # quadratic/reduction terms (the M x B solves/products of the SVGP
 # ELBO) never enter a Cholesky, so their rounding degrades gradient
 # quality gracefully rather than destabilizing a factorization. They
-# dominate the FLOPs at production shapes. Default remains HIGHEST
-# (bit-identical to the always-pinned behavior). Opt-in guidance, all
-# measured on the v5e (benchmarks/NOTES.md):
-#   "high"    3-pass bf16 — 1.51x on the B=65536/M=512 SVGP step;
-#             20-epoch 10^6-point convergence equivalent to HIGHEST.
-#             The recommended fast mode.
+# dominate the FLOPs at production shapes. Modes, all measured on the
+# v5e (benchmarks/NOTES.md):
+#   "high"    3-pass bf16 — 1.55x on the B=65536/M=512 SVGP step
+#             (9.19 -> 5.92 ms, BENCH_r03); 20-epoch 10^6-point
+#             convergence equivalent to HIGHEST. THE DEFAULT since r4:
+#             every data-side site was audited (only products feeding
+#             the bound's reductions use data_einsum; Cholesky-feeding
+#             chains pin themselves via data_precision_scope), and the
+#             measured convergence is indistinguishable.
+#   "highest" f32 accumulation everywhere — the bit-conservative
+#             opt-out; use it when validating against f64 oracles.
 #   "default" 1-pass bf16 — 2.06x, but measured late-stage convergence
 #             degradation on tight-noise GP regression (the bound's
 #             near-cancelling terms amplify the 2^-8 rounding); only
 #             for early epochs / noise-dominated objectives.
 # Kuu-side grams, the R2 cross term (cancellation-sensitive), and
-# everything feeding a Cholesky ALWAYS stay HIGHEST.
+# everything feeding a Cholesky ALWAYS stay HIGHEST regardless of this
+# flag. On CPU (the test platform) every mode is full f32/f64, so the
+# flag cannot change test results.
 #
 # The flag is read at trace time: set it before executors are built /
 # jitted (a compiled function keeps whatever precision it traced with).
 # --------------------------------------------------------------------------
 
-_DATA_PRECISION = jax.lax.Precision.HIGHEST
+DEFAULT_DATA_PRECISION = jax.lax.Precision.HIGH
+_DATA_PRECISION = DEFAULT_DATA_PRECISION
 
 
 def set_data_precision(precision):
     """Set the precision for data-side (non-Cholesky-feeding) GP
-    contractions: "highest" (default), "high", or "default".
+    contractions: "high" (default), "highest", or "default".
 
     TRACE-TIME flag: it is read when an executor is traced/jitted, so
     call it BEFORE building executors. Flipping it after a function has

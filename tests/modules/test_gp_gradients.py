@@ -162,7 +162,7 @@ def test_svgp_f32_high_data_precision_gradients(whitened):
         X32, Y32 = X.astype(np.float32), Y.astype(np.float32)
         g32 = jax.grad(lambda t: ex32(t, fx32, [X32, Y32], key)[1])(tr32)
     finally:
-        precision.set_data_precision("highest")
+        precision.set_data_precision(precision.DEFAULT_DATA_PRECISION)
 
     for n in by_name64:
         a = np.asarray(g64[by_name64[n]], np.float64)

@@ -10,7 +10,10 @@ def test_data_precision_flag_roundtrip_and_equivalence():
     import jax
     from mxfusion_tpu.ops import precision
 
-    assert precision.get_data_precision() == jax.lax.Precision.HIGHEST
+    # "high" has been the library default since r4 (measured 1.55x on
+    # the v5e with convergence equivalent to HIGHEST, BENCH_r03).
+    assert precision.DEFAULT_DATA_PRECISION == jax.lax.Precision.HIGH
+    assert precision.get_data_precision() == precision.DEFAULT_DATA_PRECISION
     a = np.random.default_rng(0).standard_normal((8, 16))
     b = np.random.default_rng(1).standard_normal((16, 4))
     base = np.asarray(precision.data_einsum("nk,kd->nd", a, b))
@@ -19,11 +22,11 @@ def test_data_precision_flag_roundtrip_and_equivalence():
         assert precision.get_data_precision() == jax.lax.Precision.DEFAULT
         out = np.asarray(precision.data_einsum("nk,kd->nd", a, b))
         np.testing.assert_allclose(out, base, rtol=1e-6)
-        precision.set_data_precision(jax.lax.Precision.HIGH)
-        assert precision.get_data_precision() == jax.lax.Precision.HIGH
+        precision.set_data_precision(jax.lax.Precision.HIGHEST)
+        assert precision.get_data_precision() == jax.lax.Precision.HIGHEST
     finally:
-        precision.set_data_precision("highest")
-    assert precision.get_data_precision() == jax.lax.Precision.HIGHEST
+        precision.set_data_precision(precision.DEFAULT_DATA_PRECISION)
+    assert precision.get_data_precision() == precision.DEFAULT_DATA_PRECISION
 
 
 def test_data_precision_svgp_elbo_unchanged_on_cpu():
@@ -68,7 +71,7 @@ def test_data_precision_svgp_elbo_unchanged_on_cpu():
         precision.set_data_precision("default")
         lo = elbo()
     finally:
-        precision.set_data_precision("highest")
+        precision.set_data_precision(precision.DEFAULT_DATA_PRECISION)
     assert hi == lo, (hi, lo)
 
 
@@ -83,7 +86,7 @@ def test_data_precision_scope_pins_and_restores():
         assert precision.get_data_precision() == \
             jax.lax.Precision.DEFAULT
     finally:
-        precision.set_data_precision("highest")
+        precision.set_data_precision(precision.DEFAULT_DATA_PRECISION)
 
 
 def test_relaxed_precision_cholesky_paths_stay_pinned():
@@ -130,4 +133,4 @@ def test_relaxed_precision_cholesky_paths_stay_pinned():
         assert precision.get_data_precision() == \
             jax.lax.Precision.DEFAULT  # scopes restored the flag
     finally:
-        precision.set_data_precision("highest")
+        precision.set_data_precision(precision.DEFAULT_DATA_PRECISION)
