@@ -65,7 +65,13 @@ class BatchInferenceLoop(GradLoop):
 
     def run(self, executor, params, data, optimizer="adam",
             learning_rate=1e-3, max_iter=1000, key=None, verbose=False,
-            callback=None, data_sharding=None):
+            callback=None, data_sharding=None, resume_state=None):
+        """``resume_state``: a :class:`~.grad_loop.TrainState` (e.g.
+        from ``util.checkpoint.load_params``) restoring optimizer
+        moments, PRNG key, and step so the resumed trajectory equals
+        the uninterrupted one; ``max_iter`` still counts TOTAL
+        iterations (the loop runs the remaining
+        ``max_iter - resume_state.step``)."""
         import time as _time
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -73,6 +79,12 @@ class BatchInferenceLoop(GradLoop):
         trainable = dict(params.trainable_params())
         fixed = dict(params.fixed_params())
         opt_state = opt.init(trainable)
+        start = 0
+        if resume_state is not None:
+            opt_state = resume_state.restore_opt_state(opt_state)
+            if resume_state.key is not None:
+                key = jnp.asarray(resume_state.key)
+            start = int(resume_state.step or 0)
         data = [jnp.asarray(d) for d in data]
         if data_sharding is not None:
             data = [jax.device_put(d, s)
@@ -99,7 +111,7 @@ class BatchInferenceLoop(GradLoop):
             loss = None
             aux = {}
             print_every = max(1, max_iter // 10)
-            for i in range(max_iter):
+            for i in range(start, max_iter):
                 t0 = _time.perf_counter()
                 key, subkey = jax.random.split(key)
                 trainable, opt_state, loss, aux, metrics = step(
@@ -110,7 +122,9 @@ class BatchInferenceLoop(GradLoop):
                     print("Iteration {} loss: {}".format(i + 1,
                                                          float(loss)))
                 if callback is not None or metrics_cb is not None:
-                    self._sync_live_state(params, trainable, fixed)
+                    self._sync_live_state(params, trainable, fixed,
+                                          opt_state=opt_state, key=key,
+                                          step=i + 1)
                 if callback is not None:
                     callback(i, loss)
                 if metrics_cb is not None:
@@ -142,7 +156,14 @@ class BatchInferenceLoop(GradLoop):
         n_calls = -(-max_iter // k)
         loss = None
         aux = {}
-        for c in range(n_calls):
+        if start % k:
+            raise ValueError(
+                "resume_state.step={} is not a multiple of "
+                "steps_per_call={}; scanned-loop checkpoints always "
+                "land on chunk boundaries — was the checkpoint written "
+                "by a loop with a different steps_per_call?".format(
+                    start, k))
+        for c in range(start // k, n_calls):
             t0 = _time.perf_counter()
             key, subkey = jax.random.split(key)
             # seed the carried aux with CURRENT cache values so the
@@ -160,7 +181,9 @@ class BatchInferenceLoop(GradLoop):
                 print("Iteration {} loss: {}".format((c + 1) * k,
                                                      float(loss)))
             if callback is not None or metrics_cb is not None:
-                self._sync_live_state(params, trainable, fixed)
+                self._sync_live_state(params, trainable, fixed,
+                                      opt_state=opt_state, key=key,
+                                      step=(c + 1) * k)
             if callback is not None:
                 callback((c + 1) * k - 1, loss)
             if metrics_cb is not None:

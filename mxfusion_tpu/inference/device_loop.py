@@ -76,8 +76,12 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
 
     def run(self, executor, params, data, optimizer="adam",
             learning_rate=1e-3, max_iter=1000, key=None, verbose=False,
-            callback=None, data_sharding=None):
-        """``max_iter`` counts epochs (as in MinibatchInferenceLoop)."""
+            callback=None, data_sharding=None, resume_state=None):
+        """``max_iter`` counts epochs (as in MinibatchInferenceLoop).
+
+        ``resume_state`` (grad_loop.TrainState, step = epoch) restores
+        optimizer moments + PRNG key for deterministic resume (the
+        per-epoch permutation keys derive from the carried key)."""
         import time as _time
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -86,6 +90,12 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
         trainable = dict(params.trainable_params())
         fixed = dict(params.fixed_params())
         opt_state = opt.init(trainable)
+        start = 0
+        if resume_state is not None:
+            opt_state = resume_state.restore_opt_state(opt_state)
+            if resume_state.key is not None:
+                key = jnp.asarray(resume_state.key)
+            start = int(resume_state.step or 0)
 
         # park the dataset in HBM once
         data = [jnp.asarray(d) for d in data]
@@ -188,7 +198,7 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
                     jnp.mean(gnorms))
 
         last_loss = None
-        for e in range(max_iter):
+        for e in range(start, max_iter):
             t0 = _time.perf_counter()
             key, subkey = jax.random.split(key)
             aux0 = {u: jnp.asarray(fixed.get(u, z), dtype=z.dtype)
@@ -201,7 +211,9 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
                 print("epoch {} loss: {}".format(e + 1,
                                                  float(epoch_loss)))
             if callback is not None or metrics_cb is not None:
-                self._sync_live_state(params, trainable, fixed)
+                self._sync_live_state(params, trainable, fixed,
+                                      opt_state=opt_state, key=key,
+                                      step=e + 1)
             if callback is not None:
                 callback(e, float(epoch_loss))
             if metrics_cb is not None:

@@ -38,7 +38,7 @@ class GradBasedInference(Inference):
 
     def run(self, optimizer="adam", learning_rate=1e-3, max_iter=2000,
             verbose=False, key=None, callback=None, data_sharding=None,
-            remat=False, rv_scaling=None, **kwargs):
+            remat=False, rv_scaling=None, resume_state=None, **kwargs):
         """``rv_scaling``: {variable or uuid: scalar or array} factors
         multiplying a RANDVAR's elementwise log-density. A scalar is
         the reference's minibatch correction; an ARRAY broadcasting
@@ -73,7 +73,7 @@ class GradBasedInference(Inference):
             executor=executor, params=self.params, data=data,
             optimizer=optimizer, learning_rate=learning_rate,
             max_iter=max_iter, key=key, verbose=verbose, callback=callback,
-            data_sharding=data_sharding)
+            data_sharding=data_sharding, resume_state=resume_state)
 
 
 class GradTransferInference(GradBasedInference, TransferInference):

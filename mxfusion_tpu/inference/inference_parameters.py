@@ -24,6 +24,10 @@ class InferenceParameters:
         self._constants = dict(constants) if constants else {}
         self._fixed = set()
         self.dtype = dtype
+        # live loop state (optimizer moments / PRNG key / step),
+        # published by gradient loops at callback time so checkpoints
+        # can capture the full deterministic-resume state
+        self.train_state = None
 
     # ------------------------------------------------------------------
     @property

@@ -61,8 +61,14 @@ class MinibatchInferenceLoop(GradLoop):
 
     def run(self, executor, params, data, optimizer="adam",
             learning_rate=1e-3, max_iter=1000, key=None, verbose=False,
-            callback=None, data_sharding=None):
-        """``max_iter`` counts epochs (as in the reference)."""
+            callback=None, data_sharding=None, resume_state=None):
+        """``max_iter`` counts epochs (as in the reference).
+
+        ``resume_state`` (a :class:`~.grad_loop.TrainState`, step =
+        EPOCH index here) restores optimizer moments + PRNG key and
+        skips the already-completed epochs; per-epoch shuffles are
+        seeded by the epoch number, so the resumed trajectory equals
+        the uninterrupted one."""
         import time as _time
         from ..native import gather_rows
         if key is None:
@@ -71,6 +77,12 @@ class MinibatchInferenceLoop(GradLoop):
         trainable = dict(params.trainable_params())
         fixed = dict(params.fixed_params())
         opt_state = opt.init(trainable)
+        start = 0
+        if resume_state is not None:
+            opt_state = resume_state.restore_opt_state(opt_state)
+            if resume_state.key is not None:
+                key = jnp.asarray(resume_state.key)
+            start = int(resume_state.step or 0)
         data = [np.asarray(d) for d in data]
         N = data[0].shape[0]
         B = min(self.batch_size, N)  # same clamp as the symbolic-dim bind
@@ -93,7 +105,7 @@ class MinibatchInferenceLoop(GradLoop):
         if self.batches_per_call <= 1:
             step = jax.jit(one_step)
             last_loss = None
-            for e in range(max_iter):
+            for e in range(start, max_iter):
                 t0 = _time.perf_counter()
                 # device-side loss accumulation: one host sync per epoch
                 batch_losses = []
@@ -116,7 +128,9 @@ class MinibatchInferenceLoop(GradLoop):
                 if verbose:
                     print("epoch {} loss: {}".format(e + 1, epoch_loss))
                 if callback is not None or metrics_cb is not None:
-                    self._sync_live_state(params, trainable, fixed)
+                    self._sync_live_state(params, trainable, fixed,
+                                          opt_state=opt_state, key=key,
+                                          step=e + 1)
                 if callback is not None:
                     callback(e, epoch_loss)
                 if metrics_cb is not None:
@@ -153,7 +167,7 @@ class MinibatchInferenceLoop(GradLoop):
             return tr, st, aux, losses, gnorms
 
         last_loss = None
-        for e in range(max_iter):
+        for e in range(start, max_iter):
             t0 = _time.perf_counter()
             idx_batches = self._epoch_batches(N, e)
             # pad to a multiple of k by wrapping (keeps shapes static)
@@ -192,7 +206,9 @@ class MinibatchInferenceLoop(GradLoop):
             if verbose:
                 print("epoch {} loss: {}".format(e + 1, epoch_loss))
             if callback is not None or metrics_cb is not None:
-                self._sync_live_state(params, trainable, fixed)
+                self._sync_live_state(params, trainable, fixed,
+                                      opt_state=opt_state, key=key,
+                                      step=e + 1)
             if callback is not None:
                 callback(e, epoch_loss)
             if metrics_cb is not None:

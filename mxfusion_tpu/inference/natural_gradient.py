@@ -94,8 +94,15 @@ class NaturalGradientLoop(GradLoop):
     # ------------------------------------------------------------------
     def run(self, executor, params, data, optimizer="adam",
             learning_rate=1e-2, max_iter=1000, key=None, verbose=False,
-            callback=None, data_sharding=None):
+            callback=None, data_sharding=None, resume_state=None):
         import time as _time
+        if resume_state is not None:
+            raise InferenceError(
+                "Deterministic resume is not implemented for "
+                "NaturalGradientLoop: its live state includes the "
+                "(m, S) natural parameters, which checkpoints do not "
+                "capture mid-run. Re-run from scratch or use a "
+                "standard optax loop for resumable training.")
         if key is None:
             key = jax.random.PRNGKey(0)
         post = self.module._extra_graphs[0]

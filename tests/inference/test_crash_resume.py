@@ -1,7 +1,12 @@
 """Fault-injection: crash mid-training, resume from the checkpoint.
 
-The reference has no failure-recovery mechanism (SURVEY §5); this is
-the deterministic-resume capability the TPU-native design adds.
+The reference has no failure-recovery mechanism (SURVEY §5; its
+save/load covers finished runs only,
+/root/reference/mxfusion/inference/inference.py:255-310). This is the
+deterministic-resume capability the TPU-native design adds: a
+checkpoint captures params + optimizer moments + PRNG key + step, and
+a resumed run reproduces the uninterrupted run's loss trajectory
+EXACTLY (bitwise on the same machine; asserted to 1e-12 here).
 """
 import numpy as np
 import pytest
@@ -20,29 +25,46 @@ class SimulatedCrash(RuntimeError):
     pass
 
 
-def test_crash_and_resume(tmp_path):
-    rng = np.random.default_rng(0)
-    y = rng.standard_normal((60, 1)) * 2.0 + 3.0
+def _build(y_len=60):
+    """Identically-constructed model+SVI driver (fresh UUIDs, identical
+    numerics: inits derive from construction order + fixed keys)."""
     m = Model()
     m.mu = Normal.define_variable(mean=0., variance=100., shape=(1,))
     m.s = Variable(transformation=PositiveTransformation(),
                    initial_value=5.)
-    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (60, 1)),
-                                 variance=broadcast_to(m.s, (60, 1)),
-                                 shape=(60, 1))
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (y_len, 1)),
+                                 variance=broadcast_to(m.s, (y_len, 1)),
+                                 shape=(y_len, 1))
     q = create_Gaussian_meanfield(model=m, observed=[m.y])
     alg = StochasticVariationalInference(num_samples=8, model=m,
                                          posterior=q, observed=[m.y])
-    infr = GradBasedInference(inference_algorithm=alg)
+    return m, q, GradBasedInference(inference_algorithm=alg)
+
+
+def test_crash_and_resume_deterministic(tmp_path):
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((60, 1)) * 2.0 + 3.0
+    total = 40
+
+    # ---- reference: one uninterrupted run
+    _, q_ref, infr_ref = _build()
+    ref_losses = {}
+    infr_ref.run(max_iter=total, learning_rate=0.1, y=y,
+                 callback=lambda i, l: ref_losses.__setitem__(
+                     i, float(l)))
+    ref_mu = np.asarray(infr_ref.params[q_ref.mu.factor.mean]).item()
+
+    # ---- crashing run: checkpoint every 10, crash after step 25
+    m, q, infr = _build()
     path = str(tmp_path / "ckpt.npz")
     ckpt = CheckpointCallback(infr.params, path, every=10)
-    losses = []
+    losses = {}
 
     at_ckpt = {}
 
     def crashing_callback(i, loss):
         ckpt(i, loss)
-        losses.append(float(loss))
+        losses[i] = float(loss)
         if i == 19:  # remember the live state the checkpoint captured
             at_ckpt["mu"] = np.asarray(
                 infr.params[q.mu.factor.mean]).item()
@@ -50,22 +72,50 @@ def test_crash_and_resume(tmp_path):
             raise SimulatedCrash()
 
     with pytest.raises(SimulatedCrash):
-        infr.run(max_iter=200, learning_rate=0.1, y=y,
+        infr.run(max_iter=total, learning_rate=0.1, y=y,
                  callback=crashing_callback)
-    crash_loss = losses[-1]
+    # identically-built models follow identical pre-crash trajectories
+    for i in range(25):
+        assert losses[i] == ref_losses[i], i
 
-    # resume: restore the snapshot into the (live) parameter store and
-    # continue training
-    step = load_params(infr.params, path)
-    assert step == 20
+    # ---- resume: restore the snapshot (params + optimizer moments +
+    # PRNG key + step) and continue in the same process
+    state = load_params(infr.params, path)
+    assert state.step == 20
+    assert state.key is not None and state.opt_leaves
     # the checkpoint must hold the TRAINED step-20 state, not the values
     # from loop entry (regression: loops used to write back only at the
     # end of run(), so mid-training checkpoints froze the initial state)
     restored_mu = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert np.isclose(restored_mu, at_ckpt["mu"], rtol=1e-6)
     assert abs(restored_mu) > 1e-3  # moved away from the zero init
-    infr.run(max_iter=200, learning_rate=0.1, y=y,
-             callback=lambda i, l: losses.append(float(l)))
-    assert losses[-1] < crash_loss
+
+    resumed_losses = {}
+    infr.run(max_iter=total, learning_rate=0.1, y=y,
+             resume_state=state,
+             callback=lambda i, l: resumed_losses.__setitem__(
+                 i, float(l)))
+    # resumed run covers exactly the remaining iterations...
+    assert sorted(resumed_losses) == list(range(20, total))
+    # ...and reproduces the uninterrupted trajectory (moments + key
+    # restored => identical update sequence)
+    for i in range(20, total):
+        np.testing.assert_allclose(resumed_losses[i], ref_losses[i],
+                                   rtol=0, atol=1e-12)
     mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
-    assert abs(mu_post - y.mean()) < 0.4
+    np.testing.assert_allclose(mu_post, ref_mu, rtol=0, atol=1e-12)
+
+
+def test_resume_requires_matching_optimizer(tmp_path):
+    """Resuming with a different optimizer (different state leaf count)
+    fails loudly instead of silently reinitializing moments."""
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal((60, 1)) + 1.0
+    _, _, infr = _build()
+    path = str(tmp_path / "ckpt.npz")
+    infr.run(max_iter=10, learning_rate=0.1, y=y,
+             callback=CheckpointCallback(infr.params, path, every=10))
+    state = load_params(infr.params, path)
+    with pytest.raises(ValueError, match="optimizer"):
+        infr.run(max_iter=20, learning_rate=0.1, y=y, optimizer="sgd",
+                 resume_state=state)

@@ -42,7 +42,11 @@ def test_checkpoint_roundtrip(tmp_path):
     save_params(infr.params, path, step=25)
     infr.params.param_dict[q.mu.factor.mean.uuid] = \
         np.zeros_like(trained_mu)
-    step = load_params(infr.params, path)
-    assert step == 25
+    state = load_params(infr.params, path)
+    assert state.step == 25
+    # the loop published its live optimizer state before the callback
+    # fired, so the snapshot carries the full resume state
+    assert state.key is not None
+    assert state.opt_leaves
     assert np.allclose(np.asarray(infr.params[q.mu.factor.mean]),
                        trained_mu)
