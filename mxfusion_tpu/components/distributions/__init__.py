@@ -19,6 +19,7 @@ from .poisson import Poisson
 from .studentt import StudentT
 from .lognormal import LogNormal
 from .logitnormal import LogitNormal
+from .stickbreaking_normal import StickBreakingNormal
 from .ssm import LinearGaussianSSM
 from .ar1 import GaussianAR1
 from .gp import GaussianProcess, ConditionalGaussianProcess

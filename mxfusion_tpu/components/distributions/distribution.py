@@ -41,8 +41,8 @@ class Distribution(Factor):
     # (HMC/ChEES/SGLD/SVGD/PT) use this to run constrained latents in
     # an unconstrained space via log / logit / stick-breaking bijectors
     # with the Jacobian folded into the potential; MAP and the
-    # meanfield factory use the scalar supports to pick constrained
-    # locations / factor families (simplex applies to samplers only).
+    # meanfield factory pick support-matched locations / factor
+    # families (simplex -> softmax location / StickBreakingNormal).
     # Limit: Uniform's bounds are runtime inputs, not declarable here,
     # so Uniform latents still run in native space.
     support = "real"

@@ -59,6 +59,14 @@ class NormalMixture(UnivariateDistribution):
         w = weights / jnp.sum(weights, axis=-1, keepdims=True)
         kc, kn = jax.random.split(key)
         shape = (num_samples,) + rv_shape
+        # right-aligned broadcasting would pit the leading sample axis
+        # of (s, K) parameters against the event dims of ``shape``;
+        # align as in log_pdf_impl (keep sample + component axes, pad
+        # singletons in between) before broadcasting
+        target = len(shape) + 1
+        w = self._align(w, target)
+        means = self._align(means, target)
+        variances = self._align(variances, target)
         # component indices per draw via the rand_gen facade (Gumbel
         # argmax), then gather the selected component's moments
         probs = jnp.broadcast_to(w, shape + w.shape[-1:])

@@ -59,6 +59,28 @@ class PositiveTransformation(Softplus):
         super().__init__(offset=0.0)
 
 
+class SimplexTransformation(VariableTransformation):
+    """Maps R^K onto the interior of the K-simplex via softmax over the
+    LAST axis (MAP point-mass locations for simplex-support latents).
+
+    Softmax is a smooth surjection, not a bijection (shift-invariant
+    along 1-vectors) — fine for optimization use; ``inverse_transform``
+    is the right inverse ``log(x)`` (softmax(log x) = x for x on the
+    simplex)."""
+
+    def transform(self, var):
+        e = jnp.exp(var - jnp.max(var, axis=-1, keepdims=True))
+        return e / jnp.sum(e, axis=-1, keepdims=True)
+
+    def inverse_transform(self, out_var):
+        if isinstance(out_var, (int, float)) or \
+                isinstance(out_var, np.ndarray):
+            x = np.asarray(out_var, dtype=np.float64)
+            return np.log(np.maximum(x, np.finfo(np.float64).tiny))
+        return jnp.log(jnp.maximum(out_var,
+                                   jnp.finfo(out_var.dtype).tiny))
+
+
 class Logistic(VariableTransformation):
     """Maps the real line to ``(lower, upper)`` via a scaled sigmoid."""
 

@@ -24,6 +24,7 @@ import numpy as np
 from .inference import Inference
 from .inference_alg import SamplingAlgorithm, VariableEnv
 from ..common.exceptions import InferenceError
+from ..ops import simplex as simplex_ops
 
 
 def _per_chain_sum(x):
@@ -60,23 +61,13 @@ class SupportTransforms:
     """Bijectors taking constrained latents to an unconstrained sampling
     space (NumPyro-style): positive -> log/exp, unit_interval ->
     logit/sigmoid, simplex -> stick-breaking over the LAST event axis
-    (K -> K-1 unconstrained coordinates). ``log_jacobian`` is the
+    (K -> K-1 unconstrained coordinates; shared bijector in
+    ops/simplex.py). ``log_jacobian`` is the
     per-chain sum of log|dx/dz| to fold into the potential so the
     chain targets the correct density in z-space."""
 
     def __init__(self, supports):
         self.supports = supports
-
-    @staticmethod
-    def _sb_offsets(k1, dtype):
-        # z = 0 maps to the uniform simplex: v_k = sigmoid(z_k -
-        # log(K-1-k)) (the NumPyro stick-breaking convention)
-        return jnp.log(jnp.arange(k1, 0, -1).astype(dtype))
-
-    @staticmethod
-    def _sb_logv(z):
-        t = z - SupportTransforms._sb_offsets(z.shape[-1], z.dtype)
-        return -jax.nn.softplus(-t), -jax.nn.softplus(t)  # log v, log(1-v)
 
     def unconstrain(self, q):
         # boundary guard: a prior draw that underflows to exactly 0 (or
@@ -93,18 +84,7 @@ class SupportTransforms:
                 x = jnp.clip(x, eps, 1.0 - eps)
                 out[u] = jnp.log(x) - jnp.log1p(-x)
             elif s == "simplex":
-                eps = jnp.finfo(x.dtype).eps
-                K = x.shape[-1]
-                # remaining stick before coordinate k (exclusive
-                # cumsum; the zero-width slice handles K == 2 too)
-                csum = jnp.cumsum(x[..., :-1], axis=-1)
-                rem = jnp.concatenate(
-                    [jnp.ones_like(x[..., :1]),
-                     1.0 - csum[..., :-1]], axis=-1)
-                v = jnp.clip(x[..., :-1] / jnp.maximum(rem, eps),
-                             eps, 1.0 - eps)
-                out[u] = jnp.log(v) - jnp.log1p(-v) \
-                    + self._sb_offsets(K - 1, x.dtype)
+                out[u] = simplex_ops.inverse(x)
             else:
                 out[u] = x
         return out
@@ -118,15 +98,7 @@ class SupportTransforms:
             elif s == "unit_interval":
                 out[u] = jax.nn.sigmoid(zv)
             elif s == "simplex":
-                logv, log1mv = self._sb_logv(zv)
-                # x_k = v_k * prod_{j<k}(1-v_j); x_K = prod(1-v_j)
-                log_rem_excl = jnp.concatenate(
-                    [jnp.zeros_like(log1mv[..., :1]),
-                     jnp.cumsum(log1mv[..., :-1], axis=-1)], axis=-1)
-                x_head = jnp.exp(logv + log_rem_excl)
-                x_last = jnp.exp(jnp.sum(log1mv, axis=-1,
-                                         keepdims=True))
-                out[u] = jnp.concatenate([x_head, x_last], axis=-1)
+                out[u] = simplex_ops.forward(zv)
             else:
                 out[u] = zv
         return out
@@ -141,12 +113,8 @@ class SupportTransforms:
                 term = _per_chain_sum(-jax.nn.softplus(zv)
                                       - jax.nn.softplus(-zv))
             elif s == "simplex":
-                logv, log1mv = self._sb_logv(zv)
-                log_rem_excl = jnp.concatenate(
-                    [jnp.zeros_like(log1mv[..., :1]),
-                     jnp.cumsum(log1mv[..., :-1], axis=-1)], axis=-1)
-                # dx_k/dv_k = rem_k; dv_k/dz_k = v(1-v)
-                term = _per_chain_sum(logv + log1mv + log_rem_excl)
+                term = _per_chain_sum(
+                    simplex_ops.log_det_jacobian(zv)[..., None])
             else:
                 continue
             tot = term if tot is None else tot + term

@@ -9,7 +9,8 @@ from .variational import VariationalInference
 from ..models.posterior import Posterior
 from ..components.variables.variable import Variable, VariableType
 from ..components.variables.var_trans import (PositiveTransformation,
-                                              Logistic)
+                                              Logistic,
+                                              SimplexTransformation)
 from ..components.distributions.pointmass import PointMass
 from ..util.inference import variables_to_UUID
 
@@ -36,6 +37,10 @@ class MAP(VariationalInference):
                     trans = PositiveTransformation()
                 elif sup == "unit_interval":
                     trans = Logistic(0.0, 1.0)
+                elif sup == "simplex":
+                    # softmax surjection onto the simplex (last axis):
+                    # the optimizer can never leave the support
+                    trans = SimplexTransformation()
                 else:
                     trans = None
                 location = Variable(shape=v.shape, transformation=trans)

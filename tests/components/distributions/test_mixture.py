@@ -94,3 +94,34 @@ def test_mixture_fit_recovers_bimodal_data():
     assert abs(mu_hat[0] - (-3.0)) < 0.2, mu_hat
     assert abs(mu_hat[1] - 2.0) < 0.2, mu_hat
     assert abs(w_lo - 0.4) < 0.08, w_hat
+
+
+def test_mixture_samples_with_sample_axis_and_event_shape():
+    """Per-sample parameters (s, K) combined with a non-empty rv_shape:
+    right-aligned broadcasting used to pit the sample axis against the
+    event dim and raise (r3 advisor finding); parameters must align as
+    in log_pdf_impl."""
+    s, K = 4, 3
+    rng = np.random.default_rng(1)
+    w = rng.random((s, K)) + 0.2
+    mu = rng.standard_normal((s, K))
+    var = rng.random((s, K)) + 0.3
+    w_v, m_v, v_v = Variable(), Variable(), Variable()
+    dist = NormalMixture(weights=w_v, means=m_v, variances=v_v,
+                         dtype="float64")
+    dist._generate_outputs(shape=(6, 1))
+    env = {w_v.uuid: jnp.asarray(w), m_v.uuid: jnp.asarray(mu),
+           v_v.uuid: jnp.asarray(var)}
+    out = np.asarray(dist.draw_samples(env, jax.random.PRNGKey(0),
+                                       num_samples=s))
+    assert out.shape == (s, 6, 1)
+    assert np.all(np.isfinite(out))
+    # each sample row draws from ITS OWN mixture: rows with very
+    # separated means should produce distinguishable outputs
+    mu2 = np.zeros((s, K))
+    mu2[0] = -100.0
+    mu2[1] = +100.0
+    env[m_v.uuid] = jnp.asarray(mu2)
+    out2 = np.asarray(dist.draw_samples(env, jax.random.PRNGKey(0),
+                                        num_samples=s))
+    assert out2[0].mean() < -50 and out2[1].mean() > 50

@@ -107,3 +107,67 @@ def test_laplace_over_constrained_latent_matches_exact_evidence():
     exact = (a * np.log(b) + gammaln(a + N) - gammaln(a)
              - (a + N) * np.log(b + y.sum()))
     np.testing.assert_allclose(res.log_evidence, exact, atol=0.05)
+
+
+def _dirichlet_categorical(seed=3, n=120, K=3, alpha=2.0):
+    rng = np.random.default_rng(seed)
+    p_true = np.array([0.6, 0.3, 0.1])
+    y = rng.choice(K, size=(n, 1), p=p_true).astype(np.float64)
+    from mxfusion_tpu.components.distributions import (Dirichlet,
+                                                       Categorical)
+    from mxfusion_tpu.components.functions.operators import log
+    m = Model()
+    m.p = Dirichlet.define_variable(alpha=np.full(K, alpha), shape=(K,))
+    m.y = Categorical.define_variable(
+        log_prob=log(broadcast_to(m.p, (n, K))), num_classes=K,
+        shape=(n, 1))
+    counts = np.bincount(y.ravel().astype(int), minlength=K)
+    return m, y, counts
+
+
+def test_map_dirichlet_latent_hits_posterior_mode():
+    """Simplex-support MAP: the point-mass location is softmax-
+    constrained, so the optimizer stays on the simplex and lands on
+    the conjugate Dirichlet posterior mode."""
+    K, alpha = 3, 2.0
+    m, y, counts = _dirichlet_categorical(K=K, alpha=alpha)
+    N = y.shape[0]
+    alg = MAP(model=m, observed=[m.y])
+    infr = GradBasedInference(alg)
+    infr.run(y=y, max_iter=1500, learning_rate=0.05, verbose=False)
+    loc = alg.posterior[m.p].factor.location
+    p = np.asarray(infr.params[loc]).ravel()
+    assert np.all(p > 0) and np.isclose(p.sum(), 1.0)
+    mode = (alpha + counts - 1) / (K * alpha + N - K)
+    np.testing.assert_allclose(p, mode, atol=2e-3)
+
+
+def test_meanfield_simplex_family_and_conjugate_posterior():
+    """Simplex-support SVI: the factor family is StickBreakingNormal
+    and the fitted posterior's moments track the conjugate Dirichlet
+    posterior."""
+    import jax
+    from mxfusion_tpu.components.distributions import \
+        StickBreakingNormal
+    K, alpha = 3, 2.0
+    m, y, counts = _dirichlet_categorical(K=K, alpha=alpha)
+    N = y.shape[0]
+    q = create_Gaussian_meanfield(model=m, observed=[m.y])
+    assert isinstance(q.p.factor, StickBreakingNormal)
+    alg = StochasticVariationalInference(num_samples=20, model=m,
+                                         posterior=q, observed=[m.y])
+    infr = GradBasedInference(inference_algorithm=alg)
+    infr.run(y=y, max_iter=2000, learning_rate=0.05, verbose=False)
+    # moments of q via sampling the fitted factor
+    env = {q.p.factor.mean.uuid:
+           np.asarray(infr.params[q.p.factor.mean])[None],
+           q.p.factor.variance.uuid:
+           np.asarray(infr.params[q.p.factor.variance])[None]}
+    s = np.asarray(q.p.factor.draw_samples(
+        env, jax.random.PRNGKey(0), num_samples=100_000))
+    post_alpha = alpha + counts
+    post_mean = post_alpha / post_alpha.sum()
+    a0 = post_alpha.sum()
+    post_var = post_alpha * (a0 - post_alpha) / (a0 ** 2 * (a0 + 1))
+    np.testing.assert_allclose(s.mean(0), post_mean, atol=0.03)
+    np.testing.assert_allclose(s.var(0), post_var, rtol=0.5)

@@ -19,6 +19,7 @@ SURFACE = {
         "ConditionalGaussianProcess", "Exponential", "Poisson",
         "StudentT", "LogNormal", "LogitNormal", "InverseGamma",
         "NormalMixture", "Concrete", "LinearGaussianSSM", "GaussianAR1",
+        "StickBreakingNormal",
         "RandomGenerator", "FixedRandomGenerator",
     ],
     "mxfusion_tpu.components.distributions.gp.kernels": [
