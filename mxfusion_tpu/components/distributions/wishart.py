@@ -65,7 +65,10 @@ class Wishart(Distribution):
             dtype=self.dtype)
         A = strict_lower.at[..., jnp.arange(D), jnp.arange(D)].set(
             jnp.sqrt(chi2))
-        L = jnp.linalg.cholesky(jnp.broadcast_to(scale, shape))
+        # factor the scale ONCE and broadcast the factor: the common
+        # sample-invariant scale pays O(D^3), not O(S D^3) (broadcasting
+        # before the Cholesky would re-factor every sample copy)
+        L = jnp.broadcast_to(jnp.linalg.cholesky(scale), shape)
         LA = jnp.einsum("...ij,...jk->...ik", L, A)
         return jnp.einsum("...ik,...jk->...ij", LA, LA)
 

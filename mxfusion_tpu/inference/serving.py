@@ -30,32 +30,84 @@ from .inference_alg import create_sampling_executor
 from .prediction import ModulePredictionAlgorithm
 
 
-def _chunked_predict(call, C, data, key):
+def _leaf_data_axes(shape, C, spec=None):
+    """Data axes of one output leaf of ``shape`` for chunk size ``C``.
+
+    ``spec`` (a tuple/list of axis indices, from the caller's
+    ``output_spec``) overrides the inference. Inferred cases:
+
+    * exactly one axis of size C              -> concatenate there
+    * trailing square (C, C), no other C axis -> full covariance:
+      both trailing axes are data axes (block-diagonal merge)
+    * anything else                           -> ambiguous; raise and
+      ask for an explicit ``output_spec``
+    """
+    if spec is not None:
+        return tuple(ax % len(shape) for ax in spec)
+    hits = [i for i, s in enumerate(shape) if s == C]
+    if len(hits) == 1:
+        return (hits[0],)
+    if (len(shape) >= 2 and len(hits) == 2
+            and hits == [len(shape) - 2, len(shape) - 1]):
+        return (len(shape) - 2, len(shape) - 1)
+    raise ValueError(
+        "cannot infer the data axes of output leaf shape {} at chunk "
+        "size {} ({} axes match); pass output_spec=[...] with one "
+        "tuple of data-axis indices per flattened output leaf (e.g. "
+        "[(1,), (1, 2)] for a (s, C, D) mean and a (s, C, C) full "
+        "covariance).".format(shape, C, len(hits)))
+
+
+def _merge_leaf(pieces_with_pad, axes, C, N):
+    """Merge per-chunk arrays into the full-N output.
+
+    One data axis: strip padding and concatenate. Two data axes (full
+    predictive covariance): assemble the BLOCK-DIAGONAL (..., N, N)
+    covariance — each chunk contributes its own (C, C) block and
+    cross-chunk covariances are zero (they are never computed; chunked
+    serving is exact within a chunk and independent across chunks)."""
+    if len(axes) == 1:
+        ax = axes[0]
+        pieces = []
+        for pad, x in pieces_with_pad:
+            if pad:
+                x = np.take(x, np.arange(C - pad), axis=ax)
+            pieces.append(x)
+        return pieces[0] if len(pieces) == 1 \
+            else np.concatenate(pieces, axis=ax)
+    ax0, ax1 = axes
+    first = pieces_with_pad[0][1]
+    out_shape = list(first.shape)
+    out_shape[ax0] = N
+    out_shape[ax1] = N
+    out = np.zeros(out_shape, dtype=first.dtype)
+    off = 0
+    for pad, x in pieces_with_pad:
+        rows = C - pad
+        idx = [slice(None)] * out.ndim
+        idx[ax0] = slice(off, off + rows)
+        idx[ax1] = slice(off, off + rows)
+        blk = [slice(None)] * x.ndim
+        blk[ax0] = slice(0, rows)
+        blk[ax1] = slice(0, rows)
+        out[tuple(idx)] = x[tuple(blk)]
+        off += rows
+    return out
+
+
+def _chunked_predict(call, C, data, key, output_spec=None, dtypes=None):
     """Shared chunk/pad/merge loop.
 
     ``call(chunk_list, subkey)`` returns the output pytree for one
-    C-row chunk; outputs carry the data axis at -2 (means/samples:
-    (s, C, D)) or -1 (diagonal variances: (s, C))."""
+    C-row chunk. ``output_spec``: optional per-flattened-leaf tuples
+    of data-axis indices (see :func:`_leaf_data_axes`). ``dtypes``:
+    optional per-input dtypes the compiled function was traced with —
+    chunks are cast to them (a float64 request against a
+    float32-compiled function must not error or retrace)."""
+    if dtypes is not None:
+        data = [d.astype(dt, copy=False)
+                for d, dt in zip(data, dtypes)]
     N = data[0].shape[0]
-
-    def data_axis(x):
-        if x.ndim >= 2 and x.shape[-2] == C and x.shape[-1] == C:
-            # e.g. a full predictive covariance (s, C, C): no way to
-            # tell the data axis apart — out of scope for this class
-            raise ValueError(
-                "ambiguous output leaf of shape {} (two axes match "
-                "the chunk size {}): BatchedPredictor supports "
-                "diagonal-variance predictions only — use "
-                "diagonal_variance=True on the module's prediction "
-                "algorithm.".format(x.shape, C))
-        if x.ndim >= 2 and x.shape[-2] == C:
-            return x.ndim - 2
-        if x.shape[-1] == C:
-            return x.ndim - 1
-        raise ValueError(
-            "cannot locate the data axis (chunk {}) in output leaf "
-            "of shape {}".format(C, x.shape))
-
     chunks = []      # (pad, flat leaves) per chunk
     treedef = None
     for i in range(0, N, C):
@@ -69,27 +121,27 @@ def _chunked_predict(call, C, data, key):
         leaves, treedef = jax.tree_util.tree_flatten(out)
         chunks.append((pad, [np.asarray(x) for x in leaves]))
 
-    axes = [data_axis(x) for x in chunks[0][1]]
+    first = chunks[0][1]
+    if output_spec is not None and len(output_spec) != len(first):
+        raise ValueError(
+            "output_spec has {} entries but the prediction has {} "
+            "output leaves.".format(len(output_spec), len(first)))
     merged = []
-    for j, ax in enumerate(axes):
-        pieces = []
-        for pad, leaves in chunks:
-            x = leaves[j]
-            if pad:
-                x = np.take(x, np.arange(C - pad), axis=ax)
-            pieces.append(x)
-        merged.append(pieces[0] if len(pieces) == 1
-                      else np.concatenate(pieces, axis=ax))
+    for j, x0 in enumerate(first):
+        spec = output_spec[j] if output_spec is not None else None
+        axes = _leaf_data_axes(x0.shape, C, spec)
+        merged.append(_merge_leaf(
+            [(pad, leaves[j]) for pad, leaves in chunks], axes, C, N))
     return jax.tree_util.tree_unflatten(treedef, merged)
 
 
 class BatchedPredictor:
     """Fixed-shape chunked prediction over a trained model.
 
-    Works with diagonal-variance module predictions (the serving case).
-    Output leaves carry the data axis at -2 (means/samples: (s, N, D))
-    or -1 (diagonal variances: (s, N)); chunks are unpadded and
-    concatenated on whichever of those matches the chunk size.
+    Diagonal-variance outputs concatenate on their data axis; FULL
+    predictive covariances (two data axes, e.g. a (s, C, C) leaf or
+    the LMC cross-output case) merge block-diagonally across chunks.
+    Axes are inferred per leaf, or declared with ``output_spec``.
 
     Example::
 
@@ -100,8 +152,17 @@ class BatchedPredictor:
     """
 
     def __init__(self, model, infr_params, observed, target_variables=None,
-                 chunk_size=1024, num_samples=1):
+                 chunk_size=1024, num_samples=1, output_spec=None):
+        """``output_spec``: optional explicit data-axis declaration,
+        one tuple of axis indices per flattened output leaf (e.g.
+        ``[(1,), (1, 2)]`` for a (s, C, D) mean plus a (s, C, C) full
+        covariance). Without it the axes are inferred per leaf; truly
+        ambiguous shapes raise with instructions. Two data axes on a
+        leaf mean a full predictive covariance, merged
+        BLOCK-DIAGONALLY across chunks (cross-chunk covariance is not
+        computed)."""
         self.chunk_size = chunk_size
+        self.output_spec = output_spec
         alg = ModulePredictionAlgorithm(
             model=model, observed=observed,
             target_variables=target_variables, num_samples=num_samples)
@@ -140,7 +201,8 @@ class BatchedPredictor:
         fixed = self._infr.params.fixed_params()
         return _chunked_predict(
             lambda chunk, k: self._jitted(trainable, fixed, chunk, k),
-            self._chunk, data, key)
+            self._chunk, data, key, output_spec=self.output_spec,
+            dtypes=[dt for _, dt in self._chunk_specs])
 
     # ------------------------------------------------------------------
     def export(self, path, **example_data):
@@ -179,7 +241,12 @@ class BatchedPredictor:
             np_payload["f::" + k] = v
         np.savez(payload, **np_payload)
         meta = {"names": list(names), "chunk": int(C),
-                "format_version": "1.0"}
+                "input_dtypes": [np.dtype(dt).name
+                                 for _, dt in self._chunk_specs],
+                "output_spec": ([list(t) for t in self.output_spec]
+                                if self.output_spec is not None
+                                else None),
+                "format_version": "1.1"}
         with zipfile.ZipFile(path, "w") as zf:
             zf.writestr("function.bin", exported.serialize())
             zf.writestr("params.npz", payload.getvalue())
@@ -191,12 +258,15 @@ class ExportedPredictor:
     """Serves a ``BatchedPredictor.export`` artifact: same ``predict``
     contract, no model rebuild, no framework graph machinery."""
 
-    def __init__(self, exported, trainable, fixed, names, chunk):
+    def __init__(self, exported, trainable, fixed, names, chunk,
+                 dtypes=None, output_spec=None):
         self._exported = exported
         self._trainable = trainable
         self._fixed = fixed
         self._names = names
         self._chunk = chunk
+        self._dtypes = dtypes
+        self._output_spec = output_spec
         self._call = jax.jit(exported.call)
 
     def predict(self, key=None, **kwargs):
@@ -207,7 +277,8 @@ class ExportedPredictor:
             lambda chunk, k: self._call(
                 self._trainable, self._fixed,
                 [jax.numpy.asarray(c) for c in chunk], k),
-            self._chunk, data, key)
+            self._chunk, data, key, output_spec=self._output_spec,
+            dtypes=self._dtypes)
 
 
 def load_exported_predictor(path):
@@ -215,7 +286,7 @@ def load_exported_predictor(path):
     with zipfile.ZipFile(path) as zf:
         exported = jax.export.deserialize(zf.read("function.bin"))
         meta = json.loads(zf.read("meta.json"))
-        if meta.get("format_version") != "1.0":
+        if meta.get("format_version") not in ("1.0", "1.1"):
             raise ValueError("unsupported predictor artifact version: "
                              "{}".format(meta.get("format_version")))
         arrays = np.load(io.BytesIO(zf.read("params.npz")))
@@ -223,5 +294,10 @@ def load_exported_predictor(path):
                      for k in arrays.files if k.startswith("t::")}
         fixed = {k[3:]: jax.numpy.asarray(arrays[k])
                  for k in arrays.files if k.startswith("f::")}
+    dtypes = [np.dtype(d) for d in meta["input_dtypes"]] \
+        if meta.get("input_dtypes") else None
+    spec = [tuple(t) for t in meta["output_spec"]] \
+        if meta.get("output_spec") else None
     return ExportedPredictor(exported, trainable, fixed,
-                             meta["names"], meta["chunk"])
+                             meta["names"], meta["chunk"],
+                             dtypes=dtypes, output_spec=spec)

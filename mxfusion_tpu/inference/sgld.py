@@ -52,7 +52,12 @@ class SGLDAlgorithm(SamplingAlgorithm):
     preconditioning : bool
         RMSProp-preconditioned SGLD (pSGLD): per-dimension adaptive
         scaling ``1/(lambda + sqrt(V))`` with ``V`` an exponential
-        moving average of squared stochastic gradients.
+        moving average of squared stochastic gradients. The update
+        omits the curvature drift term ``Gamma(theta)`` of Li et al.
+        2016 (eq. 5) — the standard practical simplification (the
+        term vanishes as the preconditioner equilibrates, and
+        computing it needs dG/dtheta); it introduces a small
+        asymptotic bias relative to the exact pSGLD dynamics.
     precond_alpha, precond_lambda : float
         pSGLD EMA rate and damping.
 

@@ -455,6 +455,30 @@ class FactorGraph:
             mapped = uuid_map.get(p.uuid)
             if mapped is not None and mapped in cur_by_uuid:
                 match(p, cur_by_uuid[mapped])
+        def _warn_if_ambiguous(label, anchor, plist, clist):
+            """Parallel same-label edges pair POSITIONALLY: when more
+            than one still-unmatched, unnamed candidate shares a label,
+            the pairing is a guess — surface it (the reference
+            documents the same silent limitation as a TODO,
+            factor_graph.py:582-588 there)."""
+            amb_p = [pp for pp in plist
+                     if pp.uuid not in matched_prev and not pp.name]
+            amb_c = [cc for cc in clist
+                     if cc.uuid not in matched_cur and not cc.name]
+            if len(amb_p) > 1 and len(amb_c) > 1:
+                import warnings
+                warnings.warn(
+                    "reconcile: {} unnamed components reach '{}' (a "
+                    "{}) through parallel '{}' edges; pairing them "
+                    "positionally. Name these components to make the "
+                    "match deterministic. Candidates (previous): {}; "
+                    "(current): {}.".format(
+                        len(amb_p), anchor.name or anchor.uuid,
+                        type(anchor).__name__, label,
+                        [pp.uuid for pp in amb_p],
+                        [cc.uuid for cc in amb_c]),
+                    stacklevel=2)
+
         # BFS expansion over labeled edges in both directions
         i = 0
         while i < len(pairs):
@@ -468,6 +492,7 @@ class FactorGraph:
                 c_preds.setdefault(k, []).append(pred)
             for k, plist in p_preds.items():
                 clist = c_preds.get(k, [])
+                _warn_if_ambiguous(k, p, plist, clist)
                 for pp, cc in zip(plist, clist):
                     match(pp, cc)
             p_succs = {}
@@ -478,6 +503,7 @@ class FactorGraph:
                 c_succs.setdefault(k, []).append(succ)
             for k, plist in p_succs.items():
                 clist = c_succs.get(k, [])
+                _warn_if_ambiguous(k, p, plist, clist)
                 for pp, cc in zip(plist, clist):
                     match(pp, cc)
         return uuid_map

@@ -5,6 +5,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # long-running tier
+
 EXAMPLES = [
     "getting_started.py",
     "ppca_tutorial.py",

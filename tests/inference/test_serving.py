@@ -173,3 +173,107 @@ def test_batched_predictor_multioutput_lmc():
                                rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_d),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_batched_predictor_full_covariance_block_diagonal():
+    """Full-covariance GP prediction through the chunked server: the
+    (s, C, C) leaves are recognized as two-data-axis covariances and
+    merged block-diagonally — within-chunk blocks equal the direct
+    prediction, cross-chunk entries are zero (documented semantics)."""
+    from mxfusion_tpu.modules.gp_modules.gp_regression import \
+        GPRegressionMeanVariancePrediction
+    rng = np.random.default_rng(2)
+    m, infr = _trained_gp(rng)
+    gp = m.Y.factor
+    observed = [v for _, v in gp.inputs]
+    gp.attach_prediction_algorithms(
+        targets=gp.output_names, conditionals=gp.input_names,
+        algorithm=GPRegressionMeanVariancePrediction(
+            gp._module_graph, gp._extra_graphs[0], observed,
+            noise_free=False, diagonal_variance=False),
+        alg_name="gp_predict")
+    C = 16
+    Xt = np.linspace(0, 4, 38)[:, None]   # 2 full chunks + pad 10
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=C)
+    mu_b, cov_b = pred.predict(X=Xt)[0]
+    cov_b = np.asarray(cov_b)
+    assert cov_b.shape == (1, 38, 38)
+
+    direct = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+        infr_params=infr.params)
+    for lo in (0, 16, 32):
+        hi = min(lo + C, 38)
+        mu_d, cov_d = direct.run(X=Xt[lo:hi])[0]
+        np.testing.assert_allclose(cov_b[0, lo:hi, lo:hi],
+                                   np.asarray(cov_d)[0], rtol=1e-5,
+                                   atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(mu_b)[0, lo:hi], np.asarray(mu_d)[0],
+            rtol=1e-5, atol=1e-9)
+    # cross-chunk covariance is zero by construction
+    assert np.all(cov_b[0, :16, 16:32] == 0.0)
+
+
+def test_lmc_full_output_cov_serving_and_export(tmp_path):
+    """LMC per-point cross-output covariance (s, N, C, C) serves
+    chunked (the trailing square axes are OUTPUT axes, not data axes)
+    and round-trips through export/load including recorded input
+    dtypes (a float64 request against the compiled dtype must cast,
+    not error)."""
+    from mxfusion_tpu.modules import LMCSVGPRegression
+    from mxfusion_tpu.modules.gp_modules.lmc_svgp import \
+        LMCSVGPMeanVariancePrediction
+    from mxfusion_tpu.inference import load_exported_predictor
+    rng = np.random.default_rng(3)
+    N, C, Q = 50, 3, 2
+    X = np.sort(rng.random((N, 1)) * 6, 0)
+    G = np.stack([np.sin(X[:, 0]), np.cos(1.3 * X[:, 0])], -1)
+    Y = G @ np.array([[1.0, 0.5, -1.0], [0.2, -0.8, 0.4]]) \
+        + rng.standard_normal((N, C)) * 0.05
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, 1))
+    m.Y = LMCSVGPRegression.define_variable(
+        X=m.X, kernel=RBF(input_dim=1), num_outputs=C, num_latents=Q,
+        shape=(m.n, C),
+        inducing_inputs=Variable(
+            shape=(8, 1), initial_value=np.linspace(0.1, 5.9, 8)[:, None]))
+    infr = GradBasedInference(MAP(model=m, observed=[m.X, m.Y]))
+    infr.run(X=X, Y=Y, max_iter=40, learning_rate=0.05, verbose=False)
+    lmc = m.Y.factor
+    observed = [v for _, v in lmc.inputs]
+    lmc.attach_prediction_algorithms(
+        targets=lmc.output_names, conditionals=lmc.input_names,
+        algorithm=LMCSVGPMeanVariancePrediction(
+            lmc._module_graph, lmc._extra_graphs[0], observed,
+            noise_free=False, full_output_cov=True),
+        alg_name="lmc_svgp_predict")
+    Xt = np.linspace(0.0, 6.0, 37)[:, None]
+    direct = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+        infr_params=infr.params)
+    mu_d, cov_d = direct.run(X=Xt)[0]
+    assert np.asarray(cov_d).shape == (1, 37, C, C)
+
+    bp = BatchedPredictor(model=m, infr_params=infr.params,
+                          observed=[m.X], target_variables=[m.Y.uuid],
+                          chunk_size=16)
+    mu_b, cov_b = bp.predict(X=Xt)[0]
+    assert np.asarray(cov_b).shape == (1, 37, C, C)
+    np.testing.assert_allclose(np.asarray(cov_b), np.asarray(cov_d),
+                               rtol=1e-5, atol=1e-9)
+
+    path = str(tmp_path / "lmc_predictor.zip")
+    bp.export(path)
+    served = load_exported_predictor(path)
+    mu_s, cov_s = served.predict(X=Xt)[0]
+    np.testing.assert_allclose(np.asarray(cov_s), np.asarray(cov_b),
+                               rtol=1e-6)
+    # recorded-dtype cast: float32 request against the f64-compiled
+    # artifact must be cast (no dtype-mismatch error, close results)
+    mu_32, cov_32 = served.predict(X=Xt.astype(np.float32))[0]
+    np.testing.assert_allclose(np.asarray(mu_32), np.asarray(mu_s),
+                               rtol=1e-5, atol=1e-6)

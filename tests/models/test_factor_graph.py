@@ -191,3 +191,39 @@ def test_operator_sugar_builds_factors():
                              m.b.uuid: jnp.asarray([[3.0, 4.0]])})
     samples = m.draw_samples(env, jax.random.PRNGKey(0))
     assert np.allclose(np.asarray(samples[m.c.uuid]), [[7.0, 10.0]])
+
+
+def test_reconcile_warns_on_ambiguous_parallel_edges():
+    """Two UNNAMED same-label parallel edges pair positionally — the
+    reconciler must say so (the reference leaves this silent, its
+    factor_graph.py:582-588 TODO) — while named graphs stay quiet."""
+    import warnings as _warnings
+
+    def build_ambiguous():
+        m = Model()
+        m.x = Variable(shape=(1,))
+        # two structurally identical unnamed branches hanging off m.x:
+        # the multiply factors/vars are anonymous, so the 'x'-labeled
+        # parallel out-edges of m.x can only be paired by position
+        m.a = Normal.define_variable(mean=m.x * 2.0, variance=1.0,
+                                     shape=(1,))
+        m.b = Normal.define_variable(mean=m.x * 2.0, variance=1.0,
+                                     shape=(1,))
+        return m
+
+    m1 = build_ambiguous()
+    m2 = build_ambiguous()
+    skels = FactorGraph.load_graphs_json([m1.as_json()])
+    with pytest.warns(UserWarning, match="positionally"):
+        uuid_map = FactorGraph.reconcile_graphs([m2], skels[0])
+    # the match is still total (positional), so reload works
+    assert uuid_map[m1.a.uuid] == m2.a.uuid
+    assert uuid_map[m1.b.uuid] == m2.b.uuid
+
+    # an unambiguous graph reconciles silently
+    m3 = make_simple_model()
+    m4 = make_simple_model()
+    skels = FactorGraph.load_graphs_json([m3.as_json()])
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        FactorGraph.reconcile_graphs([m4], skels[0])

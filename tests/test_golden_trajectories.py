@@ -15,6 +15,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # long-running tier
+
 from tests.goldens.configs import CONFIGS
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
