@@ -49,14 +49,18 @@ def test_blocked_cholesky_batched_and_grad():
 
 
 def test_batched_cholesky_fallback_outside_envelope():
-    # n=128 / small batch / f64 are all outside the Pallas envelope:
+    # small batch / f64 / big n are all outside the Pallas envelope:
     # must be the exact native result
     A = _spd((4, 128, 128), 128, seed=2)
     L = np.asarray(batched_cholesky(jnp.asarray(A)))
     np.testing.assert_allclose(L, np.linalg.cholesky(A),
                                rtol=1e-12, atol=1e-12)
-    assert not _supported((4, 128, 128), jnp.float32)
-    assert not _supported((512, 48, 48), jnp.float64)
+    assert not _supported((4, 128, 128), jnp.float32)   # B < 64
+    assert not _supported((512, 48, 48), jnp.float64)   # f64
+    assert not _supported((512, 256, 256), jnp.float32)  # n > 128 ties
+    # r4 envelope: n = 128 qualifies at B >= 64 (measured 1.28-1.38x)
+    assert _supported((64, 128, 128), jnp.float32) == \
+        (jax.default_backend() == "tpu")
 
 
 def test_batched_cholesky_grad_matches_native():
@@ -79,3 +83,22 @@ def test_pallas_kernel_interpret_mode_matches_native():
     Lref = np.linalg.cholesky(A.astype(np.float64))
     err = np.abs(L - Lref).max() / np.abs(Lref).max()
     assert err < 5e-6, err
+
+
+def test_pallas_kernel_v2_interpret_mode_matches_native():
+    """The r4 one-pass-per-column kernel (dynamic sublane row load,
+    transposed output, single rank-1 pass) — the production path
+    inside the envelope — against the f64 native result, including a
+    ragged trailing batch block."""
+    from mxfusion_tpu.ops.pallas_batched_cholesky import \
+        _pallas_batched_cholesky_v2
+    for B, n, c in [(32, 64, 16), (24, 128, 16), (40, 32, 16)]:
+        A = _spd((B, n, n), n, seed=5, dtype=np.float32)
+        L = np.asarray(_pallas_batched_cholesky_v2(
+            jnp.asarray(A), c, interpret=True))
+        Lref = np.linalg.cholesky(A.astype(np.float64))
+        err = np.abs(L - Lref).max() / np.abs(Lref).max()
+        assert err < 5e-6, (B, n, c, err)
+        # strictly lower triangular (the transposed write path must
+        # leave the upper triangle exactly zero)
+        assert np.all(np.triu(L, 1) == 0.0)
