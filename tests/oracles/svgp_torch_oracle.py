@@ -138,9 +138,9 @@ def run_trajectory(init_params, X, Y, jitter, lr, n_steps):
     UNCONSTRAINED space); returns the per-step loss list (loss at the
     pre-update parameters of each step, matching a framework loop that
     reports the loss evaluated before applying that step's update)."""
-    X = torch.as_tensor(np.asarray(X))
-    Y = torch.as_tensor(np.asarray(Y))
-    params = {k: torch.as_tensor(np.asarray(v)).clone()
+    X = torch.as_tensor(np.array(X, copy=True))
+    Y = torch.as_tensor(np.array(Y, copy=True))
+    params = {k: torch.as_tensor(np.array(v, copy=True))
               for k, v in init_params.items()}
     opt = Adam(lr)
     losses = []
