@@ -155,9 +155,13 @@ def main():
             # keep stdout = exactly one JSON line for the driver
             ceiling = roofline.measure_matmul_ceiling(
                 4096, "float32", "HIGHEST", iters=32)
+            # the ceiling that matches the default mode's data-side
+            # arithmetic (3-pass bf16), so its pct reads honestly
+            ceiling_high = roofline.measure_matmul_ceiling(
+                4096, "float32", "HIGH", iters=32)
             # library default ("high" since r4): what users get
             sec_def, tflops_def = roofline.run_svgp_config(
-                65536, 512, 32, steps=50, ceiling_tflops=ceiling)
+                65536, 512, 32, steps=50, ceiling_tflops=ceiling_high)
             # HIGHEST-pinned: apples-to-apples vs the f32-HIGHEST
             # ceiling — this is the gated MFU
             precision.set_data_precision("highest")
@@ -174,6 +178,9 @@ def main():
             "ms_per_step": round(sec_def * 1e3, 3),
             "tflops": round(tflops_def, 2),
             "data_precision": "high (library default)",
+            "ceiling_tflops_f32_high": round(ceiling_high, 2),
+            "pct_of_high_ceiling": round(
+                100.0 * tflops_def / ceiling_high, 1),
             "ms_per_step_highest": round(sec * 1e3, 3),
             "tflops_highest": round(tflops, 2),
             "ceiling_tflops_f32_highest": round(ceiling, 2),

@@ -1,4 +1,5 @@
 from .module import Module
 from .gp_modules import (GPRegression, SparseGPRegression,
                          SVGPRegression, SVGPClassification,
-                         SVGPMultiClassification, LMCSVGPRegression)
+                         SVGPMultiClassification, LMCSVGPRegression,
+                         SVGPPoissonRegression)

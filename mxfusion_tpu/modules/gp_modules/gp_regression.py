@@ -216,7 +216,11 @@ class GPRegression(Module):
     """GP regression with Gaussian likelihood (reference :278-428)."""
 
     def __init__(self, X, kernel, noise_var, mean=None, rand_gen=None,
-                 dtype=None):
+                 dtype=None, jitter=0.0):
+        # jitter stabilizes the PRIOR sampling path's Cholesky (the
+        # marginal-likelihood/prediction algebra is already regularized
+        # by the noise variance and keeps jitter=0 by default)
+        self.jitter = jitter
         if not isinstance(X, Variable):
             X = Variable(value=X)
         if not isinstance(noise_var, Variable):
@@ -253,7 +257,7 @@ class GPRegression(Module):
             mean = graph.mean
         graph.F = GaussianProcess.define_variable(
             X=graph.X, kernel=self.kernel, shape=Y.shape, mean=mean,
-            rand_gen=self._rand_gen, dtype=self.dtype)
+            rand_gen=self._rand_gen, dtype=self.dtype, jitter=self.jitter)
         graph.Y = Y.replicate_self()
         graph.Y.set_prior(Normal(
             mean=graph.F,
@@ -290,9 +294,9 @@ class GPRegression(Module):
 
     @staticmethod
     def define_variable(X, kernel, noise_var, shape=None, mean=None,
-                        rand_gen=None, dtype=None):
+                        rand_gen=None, dtype=None, jitter=0.0):
         gp = GPRegression(X=X, kernel=kernel, noise_var=noise_var, mean=mean,
-                          rand_gen=rand_gen, dtype=dtype)
+                          rand_gen=rand_gen, dtype=dtype, jitter=jitter)
         gp._generate_outputs({"random_variable": shape})
         return gp.random_variable
 
@@ -304,4 +308,5 @@ class GPRegression(Module):
             rep._module_graph.kernel = \
                 rep._module_graph.F.factor.kernel
         rep._has_mean = self._has_mean
+        rep.jitter = self.jitter
         return rep

@@ -209,11 +209,11 @@ class LMCSVGPRegression(Module):
         graph.U = GaussianProcess.define_variable(
             X=graph.inducing_inputs, kernel=self.kernel,
             shape=(graph.inducing_inputs.shape[0], Q),
-            rand_gen=self._rand_gen, dtype=self.dtype)
+            rand_gen=self._rand_gen, dtype=self.dtype, jitter=self.jitter)
         graph.F = ConditionalGaussianProcess.define_variable(
             X=graph.X, X_cond=graph.inducing_inputs, Y_cond=graph.U,
             kernel=self.kernel, shape=Y.shape[:-1] + (Q,),
-            rand_gen=self._rand_gen, dtype=self.dtype)
+            rand_gen=self._rand_gen, dtype=self.dtype, jitter=self.jitter)
         graph.Y = Y.replicate_self()
         graph.Y.set_prior(Normal(
             mean=dot(graph.F, graph.mixing_matrix),

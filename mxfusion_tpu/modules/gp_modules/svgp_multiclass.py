@@ -161,11 +161,11 @@ class SVGPMultiClassification(Module):
         graph.U = GaussianProcess.define_variable(
             X=graph.inducing_inputs, kernel=self.kernel,
             shape=(graph.inducing_inputs.shape[0], C),
-            rand_gen=self._rand_gen, dtype=self.dtype)
+            rand_gen=self._rand_gen, dtype=self.dtype, jitter=self.jitter)
         graph.F = ConditionalGaussianProcess.define_variable(
             X=graph.X, X_cond=graph.inducing_inputs, Y_cond=graph.U,
             kernel=self.kernel, shape=Y.shape,
-            rand_gen=self._rand_gen, dtype=self.dtype)
+            rand_gen=self._rand_gen, dtype=self.dtype, jitter=self.jitter)
         graph.Y = Y.replicate_self()
         # logits straight into a normalized one-hot Categorical
         graph.Y.set_prior(Categorical(

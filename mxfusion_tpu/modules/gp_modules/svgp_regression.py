@@ -340,7 +340,7 @@ class SVGPRegression(Module):
         graph.U = GaussianProcess.define_variable(
             X=graph.inducing_inputs, kernel=self.kernel,
             shape=(graph.inducing_inputs.shape[0], Y.shape[-1]),
-            rand_gen=self._rand_gen, dtype=self.dtype)
+            rand_gen=self._rand_gen, dtype=self.dtype, jitter=self.jitter)
         mean = None
         if self._has_mean:
             graph.mean = self.mean.replicate_self()
@@ -348,7 +348,7 @@ class SVGPRegression(Module):
         graph.F = ConditionalGaussianProcess.define_variable(
             X=graph.X, X_cond=graph.inducing_inputs, Y_cond=graph.U,
             kernel=self.kernel, shape=Y.shape, mean=mean,
-            rand_gen=self._rand_gen, dtype=self.dtype)
+            rand_gen=self._rand_gen, dtype=self.dtype, jitter=self.jitter)
         graph.Y = Y.replicate_self()
         graph.Y.set_prior(Normal(
             mean=graph.F,

@@ -32,6 +32,7 @@ EXAMPLES = [
     "state_space_timeseries.py",
     "parallel_tempering.py",
     "stochastic_volatility.py",
+    "svgp_poisson_counts.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")

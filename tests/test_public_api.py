@@ -34,6 +34,7 @@ SURFACE = {
     "mxfusion_tpu.modules": [
         "Module", "GPRegression", "SparseGPRegression",
         "SVGPRegression", "SVGPClassification",
+        "SVGPPoissonRegression",
         "SVGPMultiClassification", "LMCSVGPRegression",
     ],
     "mxfusion_tpu.inference": [
