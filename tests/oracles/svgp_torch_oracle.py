@@ -156,3 +156,79 @@ def run_trajectory(init_params, X, Y, jitter, lr, n_steps):
         params = {k: p.detach() for k, p in params.items()}
         params = opt.step(params, grads)
     return losses, {k: v.detach().numpy() for k, v in params.items()}
+
+
+# ---------------------------------------------------------------------
+# Exact-GP marginal likelihood and the Titsias collapsed sparse bound —
+# the other two bound families the reference validates against GPy
+# (/root/reference/testing/modules/gpregression_test.py,
+# sparsegpregression_test.py). Same conventions as svgp_neg_elbo.
+# ---------------------------------------------------------------------
+
+def gpr_neg_mll(params, X, Y):
+    """-log N(y | 0, K + sigma^2 I): params = Z-free dict with
+    raw_noise, raw_variance, raw_lengthscale."""
+    N = X.shape[0]
+    sigma2 = softplus(params["raw_noise"]).squeeze()
+    K = rbf_K(X, X, params["raw_lengthscale"], params["raw_variance"])
+    C = K + sigma2 * torch.eye(N)
+    L = torch.linalg.cholesky(C)
+    a = torch.linalg.solve_triangular(L, Y, upper=False)
+    mll = -0.5 * ((a ** 2).sum()
+                  + Y.numel() * torch.log(2.0 * torch.tensor(np.pi)))
+    mll = mll - Y.shape[1] * torch.log(torch.diagonal(L)).sum()
+    return -mll
+
+
+def titsias_neg_bound(params, X, Y, jitter):
+    """-[ log N(y | 0, Qnn + sigma^2 I) - tr(Knn - Qnn)/(2 sigma^2) ]
+    with Qnn = Kfu Kuu^-1 Kuf; params adds Z (M, D)."""
+    Z = params["Z"]
+    M = Z.shape[0]
+    N = X.shape[0]
+    sigma2 = softplus(params["raw_noise"]).squeeze()
+    Kuu = rbf_K(Z, Z, params["raw_lengthscale"], params["raw_variance"])
+    Kuu = Kuu + jitter * torch.eye(M)
+    Kuf = rbf_K(Z, X, params["raw_lengthscale"], params["raw_variance"])
+    Kff_diag = softplus(params["raw_variance"]).expand(N)
+
+    L = torch.linalg.cholesky(Kuu)
+    A = torch.linalg.solve_triangular(L, Kuf, upper=False)   # (M, N)
+    # log N(y | 0, A^T A + sigma^2 I) via the M x M Woodbury core
+    B = torch.eye(M) + (A @ A.T) / sigma2
+    LB = torch.linalg.cholesky(B)
+    AY = A @ Y / sigma2
+    c = torch.linalg.solve_triangular(LB, AY, upper=False)
+    quad = ((Y ** 2).sum() / sigma2 - (c ** 2).sum())
+    logdet = (Y.shape[1]
+              * (2.0 * torch.log(torch.diagonal(LB)).sum()
+                 + N * torch.log(sigma2)))
+    loglik = -0.5 * (quad + logdet
+                     + Y.numel() * torch.log(2.0 * torch.tensor(np.pi)))
+    trace = (Kff_diag.sum() - (A ** 2).sum()) / (2.0 * sigma2) \
+        * Y.shape[1]
+    return -(loglik - trace)
+
+
+def run_bound_trajectory(neg_bound, init_params, X, Y, lr, n_steps,
+                         **kw):
+    """Adam-optimize an arbitrary torch bound; same reporting contract
+    as run_trajectory."""
+    X = torch.as_tensor(np.array(X, copy=True))
+    Y = torch.as_tensor(np.array(Y, copy=True))
+    params = {k: torch.as_tensor(np.array(v, copy=True))
+              for k, v in init_params.items()}
+    opt = Adam(lr)
+    losses = []
+    for _ in range(n_steps):
+        for p in params.values():
+            p.requires_grad_(True)
+            if p.grad is not None:
+                p.grad = None
+        loss = neg_bound(params, X, Y, **kw)
+        loss.backward()
+        losses.append(float(loss.detach()))
+        grads = {k: p.grad.detach() for k, p in params.items()}
+        params = {k: p.detach() for k, p in params.items()}
+        params = opt.step(params, grads)
+    return losses, {k: v.detach().numpy() for k, v in params.items()}
