@@ -131,8 +131,12 @@ class BatchInferenceLoop(GradLoop):
                     m = {k: float(v) for k, v in metrics.items()}
                     m["step_time_s"] = _time.perf_counter() - t0
                     metrics_cb(i, m)
-            params.update_params(trainable)
-            params.update_params(fixed)
+            # publish the FINAL TrainState too: a snapshot taken after
+            # the loop (or by a later callback-less run) must never pair
+            # current params with stale optimizer state
+            self._sync_live_state(params, trainable, fixed,
+                                  opt_state=opt_state, key=key,
+                                  step=max_iter)
             return np.asarray(loss) if loss is not None else None
 
         # scanned multi-step path
@@ -191,6 +195,7 @@ class BatchInferenceLoop(GradLoop):
                 m = {kk: float(v[-1]) for kk, v in metrics.items()}
                 m["step_time_s"] = (_time.perf_counter() - t0) / k
                 metrics_cb((c + 1) * k - 1, m)
-        params.update_params(trainable)
-        params.update_params(fixed)
+        self._sync_live_state(params, trainable, fixed,
+                              opt_state=opt_state, key=key,
+                              step=n_calls * k)
         return np.asarray(loss) if loss is not None else None

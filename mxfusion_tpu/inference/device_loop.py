@@ -221,6 +221,7 @@ class DeviceMinibatchLoop(MinibatchInferenceLoop):
                     "loss": float(epoch_loss),
                     "grad_norm": float(gnorm),
                     "epoch_time_s": _time.perf_counter() - t0})
-        params.update_params(trainable)
-        params.update_params(fixed)
+        self._sync_live_state(params, trainable, fixed,
+                              opt_state=opt_state, key=key,
+                              step=max_iter)
         return np.asarray(last_loss) if last_loss is not None else None

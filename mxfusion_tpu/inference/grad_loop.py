@@ -45,8 +45,17 @@ class TrainState:
                 "optimizer (same optimizer= and learning_rate=) it was "
                 "checkpointed with.".format(len(self.opt_leaves),
                                             len(tmpl)))
-        leaves = [jnp.asarray(l, dtype=t.dtype)
-                  for l, t in zip(self.opt_leaves, tmpl)]
+        leaves = []
+        for i, (l, t) in enumerate(zip(self.opt_leaves, tmpl)):
+            l = jnp.asarray(l, dtype=t.dtype)
+            if tuple(l.shape) != tuple(t.shape):
+                raise ValueError(
+                    "TrainState optimizer-state leaf {} has shape {} "
+                    "but the loop's optimizer expects {} — the "
+                    "checkpoint belongs to a different model/optimizer "
+                    "configuration.".format(i, tuple(l.shape),
+                                            tuple(t.shape)))
+            leaves.append(l)
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -139,8 +139,9 @@ class MinibatchInferenceLoop(GradLoop):
                         "grad_norm": float(jnp.mean(
                             jnp.stack(batch_gnorms))),
                         "epoch_time_s": _time.perf_counter() - t0})
-            params.update_params(trainable)
-            params.update_params(fixed)
+            self._sync_live_state(params, trainable, fixed,
+                                  opt_state=opt_state, key=key,
+                                  step=max_iter)
             return np.asarray(last_loss) if last_loss is not None else None
 
         # scanned multi-batch path
@@ -216,6 +217,7 @@ class MinibatchInferenceLoop(GradLoop):
                     "loss": epoch_loss,
                     "grad_norm": float(jnp.mean(jnp.stack(chunk_gnorms))),
                     "epoch_time_s": _time.perf_counter() - t0})
-        params.update_params(trainable)
-        params.update_params(fixed)
+        self._sync_live_state(params, trainable, fixed,
+                              opt_state=opt_state, key=key,
+                              step=max_iter)
         return np.asarray(last_loss) if last_loss is not None else None

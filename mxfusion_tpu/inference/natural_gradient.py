@@ -193,6 +193,10 @@ class NaturalGradientLoop(GradLoop):
         # write the optimized state back in the executor's native
         # parameterization
         S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+        # NGD state (m, S) is not checkpoint-resumable: clear any
+        # TrainState a previous optax loop published so a snapshot
+        # cannot pair NGD-trained params with stale adam moments
+        params.train_state = None
         params.update_params(hyper)
         params.update_params({u_mean: m,
                               u_w: jnp.linalg.cholesky(S),

@@ -49,6 +49,16 @@ def _leaf_data_axes(shape, C, spec=None):
         return (hits[0],)
     if (len(shape) >= 2 and len(hits) == 2
             and hits == [len(shape) - 2, len(shape) - 1]):
+        # a trailing (C, C) pair COULD also be (rows, features) with a
+        # feature dim that happens to equal the chunk size — that case
+        # needs an explicit spec, so say what was assumed
+        import warnings
+        warnings.warn(
+            "serving: treating output leaf shape {} as a FULL "
+            "predictive covariance (block-diagonal across chunks). If "
+            "this leaf is actually (rows, features) with features == "
+            "chunk_size == {}, pass output_spec= to declare the data "
+            "axes explicitly.".format(shape, C), stacklevel=2)
         return (len(shape) - 2, len(shape) - 1)
     raise ValueError(
         "cannot infer the data axes of output leaf shape {} at chunk "

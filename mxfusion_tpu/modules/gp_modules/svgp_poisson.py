@@ -83,7 +83,14 @@ class SVGPPoissonLogPdf(VariationalInference):
             f = mu_f[..., None] + \
                 jnp.sqrt(2.0 * var_safe)[..., None] * t
             rate = jax.nn.softplus(f)
-            log_lik = (y[..., None] * jnp.log(rate) - rate
+            # stable log softplus: softplus(f) underflows to exactly 0
+            # for f << 0 (f32: f < ~-103), and y*log(0) = 0*(-inf) =
+            # NaN for zero counts; in that regime softplus(f) ~= e^f,
+            # so log softplus(f) ~= f to machine precision
+            log_rate = jnp.where(
+                f < -30.0, f,
+                jnp.log(jnp.where(f < -30.0, 1.0, rate)))
+            log_lik = (y[..., None] * log_rate - rate
                        - gammaln(y + 1.0)[..., None])
             quad = jnp.sum(log_lik * w, axis=-1)
         logL = jnp.sum(quad, axis=-1)

@@ -119,3 +119,41 @@ def test_resume_requires_matching_optimizer(tmp_path):
     with pytest.raises(ValueError, match="optimizer"):
         infr.run(max_iter=20, learning_rate=0.1, y=y, optimizer="sgd",
                  resume_state=state)
+
+
+def test_final_train_state_published_without_callback(tmp_path):
+    """Loops publish the FINAL TrainState even in callback-less runs
+    (r4 review finding): a snapshot taken after a second, callback-less
+    run must carry that run's optimizer state, not the first run's."""
+    from mxfusion_tpu.util.checkpoint import save_params
+    rng = np.random.default_rng(2)
+    y = rng.standard_normal((60, 1)) + 1.0
+    _, _, infr = _build()
+    infr.run(max_iter=10, learning_rate=0.1, y=y,
+             callback=lambda i, l: None)       # publishes step 10
+    infr.run(max_iter=30, learning_rate=0.1, y=y)  # NO callback
+    state = infr.params.train_state
+    assert state is not None and state.step == 30
+    path = str(tmp_path / "post.npz")
+    save_params(infr.params, path)
+    st2 = load_params(infr.params, path)
+    assert st2.step == 30 and st2.opt_leaves
+
+
+def test_resume_rejects_mismatched_leaf_shapes(tmp_path):
+    """A checkpoint whose optimizer-state leaf shapes do not match the
+    loop's optimizer raises instead of silently broadcasting wrong
+    moments."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((60, 1)) + 1.0
+    _, _, infr = _build()
+    path = str(tmp_path / "ckpt.npz")
+    infr.run(max_iter=10, learning_rate=0.1, y=y,
+             callback=CheckpointCallback(infr.params, path, every=10))
+    state = load_params(infr.params, path)
+    state.opt_leaves = [jnp.zeros(np.asarray(l).shape + (1,))
+                        for l in state.opt_leaves]
+    with pytest.raises(ValueError, match="shape"):
+        infr.run(max_iter=20, learning_rate=0.1, y=y,
+                 resume_state=state)

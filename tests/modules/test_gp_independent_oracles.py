@@ -17,6 +17,8 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+pytest.importorskip("torch")  # the oracle tier needs torch (CPU)
+
 from mxfusion_tpu import Model, Variable
 from mxfusion_tpu.components.variables import PositiveTransformation
 from mxfusion_tpu.components.distributions.gp.kernels import RBF

@@ -172,3 +172,33 @@ def test_poisson_svgp_sampling_path():
     assert s.shape == (8, 30, 1)
     assert np.all(s >= 0)
     assert np.allclose(s, np.round(s))
+
+
+def test_poisson_softplus_link_zero_counts_extreme_negative_f():
+    """softplus(f) underflows to 0 at strongly negative f; with zero
+    counts the naive y*log(rate) is 0*(-inf) = NaN (r4 review
+    finding). The stable log-softplus form must keep the ELBO and its
+    gradients finite."""
+    import jax.numpy as jnp
+    from mxfusion_tpu.inference import create_executor
+    X = np.linspace(0, 4, 20)[:, None]
+    Y = np.zeros((20, 1))                  # all-zero counts
+    m, _ = _build(link="softplus", jitter=1e-5)
+    alg = MAP(model=m, observed=[m.X, m.Y])
+    infr = GradBasedInference(inference_algorithm=alg, dtype="float64")
+    infr.initialize(X=X, Y=Y)
+    post = m.Y.factor._extra_graphs[0]
+    # drive q(f) far negative: rate underflows at every quadrature node
+    infr.params.param_dict[post.qU_mean.uuid] = \
+        jnp.full((6, 1), -500.0)
+    ex = create_executor(alg, infr.params)
+    tr = infr.params.trainable_params()
+    fx = infr.params.fixed_params()
+
+    def loss_fn(t):
+        loss, lg, _ = ex(t, fx, [X, Y], jax.random.PRNGKey(0))
+        return lg
+    val, grads = jax.value_and_grad(loss_fn)(tr)
+    assert np.isfinite(float(val))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(g)))
