@@ -6,6 +6,7 @@ implementation (float64). Behavior tier: MAP through the model IR
 recovers the transition matrix; sampling matches the model's
 stationary statistics; smoothing beats filtering."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -189,6 +190,7 @@ def test_forward_sampling_statistics():
     np.testing.assert_allclose(late.mean(), 0.0, atol=0.1)
 
 
+@pytest.mark.slow
 def test_hmc_bayesian_noise_posterior():
     # Bayesian structural variant: Gamma prior on the observation
     # variance, HMC through the Kalman marginal likelihood (support
@@ -221,6 +223,7 @@ def test_hmc_bayesian_noise_posterior():
     assert infr.diagnostics["accept_rate"].min() > 0.5
 
 
+@pytest.mark.slow
 def test_parallel_filter_matches_sequential():
     # the associative-scan filter must agree with the sequential scan
     # on EVERY output (loglik, filtered/pred moments, predictives)
@@ -242,6 +245,7 @@ def test_parallel_filter_matches_sequential():
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_parallel_filter_through_distribution():
     _, y = _simulate(seed=8)
     m_seq = _build(A_TRUE)
@@ -331,6 +335,7 @@ def test_masked_ssm_through_model_ir():
                                rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_parallel_smoother_matches_sequential():
     from mxfusion_tpu.ops.kalman import rts_smoother_parallel
     _, y = _simulate(seed=12)

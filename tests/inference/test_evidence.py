@@ -67,6 +67,7 @@ def test_ti_requires_two_rungs():
         PowerPosteriorAlgorithm(model=m, observed=[m.y], num_temps=1)
 
 
+@pytest.mark.slow
 def test_ti_evidence_agrees_with_laplace_on_gp_module():
     # no closed form here: a GP-module marginal likelihood with a
     # Gamma prior on the noise — two INDEPENDENT evidence estimators

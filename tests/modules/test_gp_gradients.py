@@ -115,6 +115,7 @@ CASES = [
 
 @pytest.mark.parametrize("name,cls,kw", CASES,
                          ids=[c[0] for c in CASES])
+@pytest.mark.slow
 def test_bound_gradients_vs_finite_differences(name, cls, kw):
     X, Y = _data()
     ex, tr, fixed, names = _executor_and_params(cls, X, Y, **kw)
@@ -137,6 +138,7 @@ def test_bound_gradients_vs_finite_differences(name, cls, kw):
 
 @pytest.mark.parametrize("whitened", [False, True],
                          ids=["standard", "whitened"])
+@pytest.mark.slow
 def test_svgp_f32_high_data_precision_gradients(whitened):
     """f32 + set_data_precision('high') gradients track the f64 ones."""
     X, Y = _data()
