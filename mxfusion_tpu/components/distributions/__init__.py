@@ -20,6 +20,7 @@ from .studentt import StudentT
 from .lognormal import LogNormal
 from .logitnormal import LogitNormal
 from .stickbreaking_normal import StickBreakingNormal
+from .negative_binomial import NegativeBinomial
 from .ssm import LinearGaussianSSM
 from .ar1 import GaussianAR1
 from .gp import GaussianProcess, ConditionalGaussianProcess

@@ -1,0 +1,61 @@
+"""Negative-binomial distribution (overdispersed counts).
+
+Beyond the reference's distribution set. Mean/dispersion
+parameterization (the GLM convention): ``mean`` mu > 0 and
+``dispersion`` alpha > 0 with
+
+    Var[y] = mu + alpha mu^2
+
+(alpha -> 0 recovers Poisson). Equivalently a Gamma-Poisson mixture:
+``rate ~ Gamma(shape=1/alpha, scale=alpha*mu)``, ``y ~ Poisson(rate)``
+— which is also how sampling is implemented (two vectorized draws, no
+rejection loops).
+
+    log p(y) = log Γ(y + r) − log Γ(r) − log Γ(y+1)
+             + r log(r/(r+mu)) + y log(mu/(r+mu)),   r = 1/alpha
+"""
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from .distribution import UnivariateDistribution
+
+
+class NegativeBinomial(UnivariateDistribution):
+    """Counts with ``E[y] = mean``, ``Var[y] = mean + dispersion *
+    mean**2``."""
+
+    def __init__(self, mean, dispersion, rand_gen=None, dtype=None):
+        super().__init__(
+            inputs=[("mean", mean), ("dispersion", dispersion)],
+            outputs=None, input_names=["mean", "dispersion"],
+            output_names=["random_variable"],
+            rand_gen=rand_gen, dtype=dtype)
+
+    def log_pdf_impl(self, random_variable, mean, dispersion):
+        y = random_variable
+        r = 1.0 / dispersion
+        log_ratio = jnp.log(mean) - jnp.log(r + mean)
+        return (gammaln(y + r) - gammaln(r) - gammaln(y + 1.0)
+                + r * (jnp.log(r) - jnp.log(r + mean)) + y * log_ratio)
+
+    def draw_samples_impl(self, rv_shape, num_samples, key, mean,
+                          dispersion):
+        import jax
+        shape = (num_samples,) + rv_shape
+        kg, kp = jax.random.split(key)
+        r = 1.0 / dispersion
+        # Gamma-Poisson mixture: rate ~ Gamma(r, scale = mean/r)
+        g = self._rand_gen.sample_gamma(
+            kg, alpha=jnp.broadcast_to(r, shape), beta=1.0, shape=shape,
+            dtype=self.dtype)
+        rate = g * mean / r
+        return self._rand_gen.sample_poisson(
+            kp, rate=rate, shape=shape, dtype=self.dtype)
+
+    @classmethod
+    def define_variable(cls, mean=1., dispersion=1., shape=None,
+                        rand_gen=None, dtype=None):
+        dist = cls(mean=mean, dispersion=dispersion, rand_gen=rand_gen,
+                   dtype=dtype)
+        dist._generate_outputs(shape=shape)
+        return dist.random_variable

@@ -2,4 +2,5 @@ from .module import Module
 from .gp_modules import (GPRegression, SparseGPRegression,
                          SVGPRegression, SVGPClassification,
                          SVGPMultiClassification, LMCSVGPRegression,
-                         SVGPPoissonRegression)
+                         SVGPPoissonRegression,
+                         SVGPNegBinomialRegression)

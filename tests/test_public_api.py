@@ -19,7 +19,7 @@ SURFACE = {
         "ConditionalGaussianProcess", "Exponential", "Poisson",
         "StudentT", "LogNormal", "LogitNormal", "InverseGamma",
         "NormalMixture", "Concrete", "LinearGaussianSSM", "GaussianAR1",
-        "StickBreakingNormal",
+        "StickBreakingNormal", "NegativeBinomial",
         "RandomGenerator", "FixedRandomGenerator",
     ],
     "mxfusion_tpu.components.distributions.gp.kernels": [
@@ -34,7 +34,7 @@ SURFACE = {
     "mxfusion_tpu.modules": [
         "Module", "GPRegression", "SparseGPRegression",
         "SVGPRegression", "SVGPClassification",
-        "SVGPPoissonRegression",
+        "SVGPPoissonRegression", "SVGPNegBinomialRegression",
         "SVGPMultiClassification", "LMCSVGPRegression",
     ],
     "mxfusion_tpu.inference": [
