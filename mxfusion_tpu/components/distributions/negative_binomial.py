@@ -20,6 +20,18 @@ from jax.scipy.special import gammaln
 from .distribution import UnivariateDistribution
 
 
+def nb_log_pmf(y, log_mu, mu, alpha):
+    """Elementwise log NB(y | mu, alpha) given BOTH mu and log(mu):
+    callers that derive mu = exp(f) pass f directly as log_mu, keeping
+    the y-weighted term exact without a log(exp(f)) round trip. The
+    single home of the NB algebra (the SVGP count module reuses it).
+    r = 1/alpha; log p = lgamma(y+r) - lgamma(r) - lgamma(y+1)
+    + r log r - (y+r) log(r+mu) + y log_mu."""
+    r = 1.0 / alpha
+    return (gammaln(y + r) - gammaln(r) - gammaln(y + 1.0)
+            + r * jnp.log(r) - (y + r) * jnp.log(r + mu) + y * log_mu)
+
+
 class NegativeBinomial(UnivariateDistribution):
     """Counts with ``E[y] = mean``, ``Var[y] = mean + dispersion *
     mean**2``."""
@@ -31,12 +43,14 @@ class NegativeBinomial(UnivariateDistribution):
             output_names=["random_variable"],
             rand_gen=rand_gen, dtype=dtype)
 
+    # NOTE on ``support``: deliberately the 'real' default (same as
+    # Poisson) — the domain is discrete counts, which gradient-based
+    # samplers/meanfield cannot target anyway; the support machinery
+    # exists for continuous constrained latents.
+
     def log_pdf_impl(self, random_variable, mean, dispersion):
-        y = random_variable
-        r = 1.0 / dispersion
-        log_ratio = jnp.log(mean) - jnp.log(r + mean)
-        return (gammaln(y + r) - gammaln(r) - gammaln(y + 1.0)
-                + r * (jnp.log(r) - jnp.log(r + mean)) + y * log_ratio)
+        return nb_log_pmf(random_variable, jnp.log(mean), mean,
+                          dispersion)
 
     def draw_samples_impl(self, rv_shape, num_samples, key, mean,
                           dispersion):

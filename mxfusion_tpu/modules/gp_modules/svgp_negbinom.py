@@ -4,25 +4,23 @@
 Completes the count-likelihood family (svgp_poisson.py): real count
 data routinely shows Var[y] >> E[y], which a Poisson likelihood cannot
 express — the NB likelihood adds a trainable dispersion ``alpha``
-(Var[y] = mu + alpha mu², a module-level positive parameter that the
-same adam step fits alongside the kernel hyperparameters). The
-expected log-likelihood has no closed form under either link (the
-log-partition involves log(r + e^f)), so both use the shared static
-Gauss–Hermite grid. Beyond the reference's module set.
+(Var[y] = mu + alpha mu², a module-level positive parameter the same
+adam step fits alongside the kernel hyperparameters). LOG LINK ONLY:
+the expected log-likelihood has no closed form (the log-partition
+involves log(r + e^f)), so it uses the shared static Gauss–Hermite
+grid. Beyond the reference's module set.
 """
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import gammaln
-
 from ..module import Module
 from ...models.model import Model
 from ...models.posterior import Posterior
 from ...components.variables.variable import Variable
 from ...components.variables.var_trans import PositiveTransformation
 from ...components.variables.runtime_variable import arrays_as_samples
-from ...components.distributions.negative_binomial import \
-    NegativeBinomial
+from ...components.distributions.negative_binomial import (
+    NegativeBinomial, nb_log_pmf)
 from ...components.distributions.gp.gp import GaussianProcess
 from ...components.distributions.gp.cond_gp import \
     ConditionalGaussianProcess
@@ -33,16 +31,6 @@ from ...inference.inference_alg import SamplingAlgorithm
 from ...inference.forward_sampling import ForwardSamplingAlgorithm
 from .svgp_classification import (_q_f_moments, _neg_kl,
                                   _gauss_hermite, _VAR_FLOOR)
-
-
-def _nb_log_lik(y, log_mu, mu, alpha):
-    """Elementwise log NB(y | mu, alpha) given both mu and log(mu)
-    (callers supply the stable log to avoid log(exp(f)) round trips).
-    r = 1/alpha; log p = lgamma(y+r) - lgamma(r) - lgamma(y+1)
-    + r log r - (y+r) log(r+mu) + y log mu."""
-    r = 1.0 / alpha
-    return (gammaln(y + r) - gammaln(r) - gammaln(y + 1.0)
-            + r * jnp.log(r) - (y + r) * jnp.log(r + mu) + y * log_mu)
 
 
 class SVGPNegBinomialLogPdf(VariationalInference):
@@ -74,7 +62,7 @@ class SVGPNegBinomialLogPdf(VariationalInference):
 
         t, w = _gauss_hermite(self.num_quadrature_points, mu_f.dtype)
         f = mu_f[..., None] + jnp.sqrt(2.0 * var_safe)[..., None] * t
-        log_lik = _nb_log_lik(y[..., None], f, jnp.exp(f), alpha)
+        log_lik = nb_log_pmf(y[..., None], f, jnp.exp(f), alpha)
         quad = jnp.sum(log_lik * w, axis=-1)
         logL = jnp.sum(quad, axis=-1)
         return self.log_pdf_scaling * logL + _neg_kl(Linvmu, LinvLs, D)
@@ -101,8 +89,13 @@ class SVGPNegBinomialPrediction(SamplingAlgorithm):
         alpha = alpha.reshape(alpha.shape[0], 1)
         var_safe = jnp.maximum(var_f, _VAR_FLOOR)
         rate_mean = jnp.exp(mu_f + 0.5 * var_safe)
-        rate_sq = jnp.exp(2.0 * mu_f + 2.0 * var_safe)  # E[rate^2]
-        rate_var = rate_sq - jnp.square(rate_mean)
+        # stable forms (the naive exp(2mu+2v) - exp(2mu+v) difference
+        # is pure cancellation noise as v -> 0): E[rate^2] =
+        # rate_mean^2 e^v, Var[rate] = rate_mean^2 expm1(v) — the same
+        # identity the Poisson prediction uses
+        rm2 = jnp.square(rate_mean)
+        rate_sq = rm2 * jnp.exp(var_safe)
+        rate_var = rm2 * jnp.expm1(var_safe)
         mean = rate_mean[..., None]
         var = (rate_mean + alpha * rate_sq + rate_var)[..., None]
         outcomes = {self.model.Y.uuid: (mean, var)}

@@ -115,7 +115,6 @@ CASES = [
 
 @pytest.mark.parametrize("name,cls,kw", CASES,
                          ids=[c[0] for c in CASES])
-@pytest.mark.slow
 def test_bound_gradients_vs_finite_differences(name, cls, kw):
     X, Y = _data()
     ex, tr, fixed, names = _executor_and_params(cls, X, Y, **kw)

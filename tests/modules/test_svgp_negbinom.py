@@ -151,3 +151,31 @@ def test_negbinom_training_recovers_rate_and_dispersion():
     assert np.corrcoef(mean, rate)[0, 1] > 0.85
     # overdispersion: predicted count variance well above the mean
     assert np.all(var > mean)
+
+
+def test_negbinom_svgp_sampling_path():
+    """draw_samples walks U -> F -> exp -> NegativeBinomial (the
+    Gamma-Poisson mixture with per-point broadcast dispersion) and
+    yields nonnegative integer counts."""
+    X, _, _ = _nb_data(n=30)
+    M = 6
+    m = Model()
+    m.N = Variable()
+    m.X = Variable(shape=(m.N, 1))
+    m.Y = SVGPNegBinomialRegression.define_variable(
+        X=m.X, kernel=RBF(input_dim=1, variance=1.3, lengthscale=0.9,
+                          dtype="float64"),
+        shape=(m.N, 1), dtype="float64", jitter=1e-5,
+        inducing_inputs=Variable(
+            shape=(M, 1),
+            initial_value=np.linspace(0.2, 3.8, M)[:, None]))
+    from mxfusion_tpu.inference import ForwardSamplingAlgorithm, Inference
+    alg = ForwardSamplingAlgorithm(model=m, observed=[m.X],
+                                   num_samples=8,
+                                   target_variables=[m.Y.uuid])
+    infr = Inference(inference_algorithm=alg, dtype="float64")
+    (samples,) = infr.run(X=X, key=jax.random.PRNGKey(0))
+    s = np.asarray(samples)
+    assert s.shape == (8, 30, 1)
+    assert np.all(s >= 0)
+    assert np.allclose(s, np.round(s))
