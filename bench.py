@@ -189,7 +189,12 @@ def main():
                          "pass": bool(mfu_gate_ok)},
             "speedup_default_vs_highest": round(sec / sec_def, 2),
         }
-    except Exception as e:  # never lose the legacy metric
+    except Exception as e:  # never lose the legacy metric, but an
+        # infrastructure break must not silently disable THE gate
+        # (r4 advisor finding): still print the JSON line, then exit
+        # nonzero with a distinct message.
+        mfu_gate_ok = False
+        gate_error = repr(e)
         print("compute-bound tier failed: {!r}".format(e),
               file=sys.stderr)
 
@@ -202,8 +207,14 @@ def main():
         "compute_bound": compute_bound,
     }))
     if not mfu_gate_ok:
-        print("MFU GATE FAILED: {:.1f}% < 70% of f32-HIGHEST ceiling"
-              .format(pct), file=sys.stderr)
+        if compute_bound is None:
+            print("MFU GATE BROKEN (not merely failed): the "
+                  "compute-bound tier raised ({}) — fix the "
+                  "measurement infrastructure.".format(gate_error),
+                  file=sys.stderr)
+        else:
+            print("MFU GATE FAILED: {:.1f}% < 70% of f32-HIGHEST "
+                  "ceiling".format(pct), file=sys.stderr)
         sys.exit(1)
 
 

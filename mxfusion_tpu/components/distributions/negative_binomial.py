@@ -20,16 +20,21 @@ from jax.scipy.special import gammaln
 from .distribution import UnivariateDistribution
 
 
-def nb_log_pmf(y, log_mu, mu, alpha):
-    """Elementwise log NB(y | mu, alpha) given BOTH mu and log(mu):
-    callers that derive mu = exp(f) pass f directly as log_mu, keeping
-    the y-weighted term exact without a log(exp(f)) round trip. The
-    single home of the NB algebra (the SVGP count module reuses it).
+def nb_log_pmf(y, log_mu, alpha):
+    """Elementwise log NB(y | exp(log_mu), alpha). Callers that derive
+    mu = exp(f) pass f directly as log_mu: the y-weighted term stays
+    exact without a log(exp(f)) round trip, and log(r + mu) is computed
+    as logaddexp(log r, log_mu) so an exp(f) float32 overflow for
+    f > ~88 (Gauss-Hermite tail nodes) cannot turn a finite term into
+    -inf/NaN (r4 advisor finding). The single home of the NB algebra
+    (the SVGP count module reuses it).
     r = 1/alpha; log p = lgamma(y+r) - lgamma(r) - lgamma(y+1)
     + r log r - (y+r) log(r+mu) + y log_mu."""
     r = 1.0 / alpha
+    log_r = jnp.log(r)
     return (gammaln(y + r) - gammaln(r) - gammaln(y + 1.0)
-            + r * jnp.log(r) - (y + r) * jnp.log(r + mu) + y * log_mu)
+            + r * log_r - (y + r) * jnp.logaddexp(log_r, log_mu)
+            + y * log_mu)
 
 
 class NegativeBinomial(UnivariateDistribution):
@@ -49,8 +54,7 @@ class NegativeBinomial(UnivariateDistribution):
     # exists for continuous constrained latents.
 
     def log_pdf_impl(self, random_variable, mean, dispersion):
-        return nb_log_pmf(random_variable, jnp.log(mean), mean,
-                          dispersion)
+        return nb_log_pmf(random_variable, jnp.log(mean), dispersion)
 
     def draw_samples_impl(self, rv_shape, num_samples, key, mean,
                           dispersion):

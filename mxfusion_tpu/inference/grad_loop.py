@@ -30,6 +30,31 @@ class TrainState:
         self.key = key
         self.opt_leaves = opt_leaves
 
+    # -- deprecation shims: load_params returned a bare int step before
+    # 0.4.0; legacy callers doing `step = load_params(...)` then integer
+    # comparison/arithmetic must fail LOUDLY (a TrainState is always
+    # truthy, so silent misbehavior is the alternative).
+    def __int__(self):
+        import warnings
+        warnings.warn(
+            "load_params now returns a TrainState (0.4.0), not the int "
+            "step; use `.step` (and pass the state as resume_state= to "
+            "resume deterministically).", DeprecationWarning,
+            stacklevel=2)
+        return int(self.step)
+
+    def __eq__(self, other):
+        if isinstance(other, (int, float)):
+            import warnings
+            warnings.warn(
+                "comparing a TrainState to a number: load_params "
+                "returns a TrainState since 0.4.0 — compare against "
+                "`.step` instead.", DeprecationWarning, stacklevel=2)
+            return self.step == other
+        return NotImplemented
+
+    __hash__ = object.__hash__
+
     def restore_opt_state(self, template_opt_state):
         """Unflatten the saved leaves into ``template_opt_state``'s
         structure (from a fresh ``opt.init(trainable)``)."""

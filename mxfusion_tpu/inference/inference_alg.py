@@ -194,6 +194,14 @@ class SamplingAlgorithm(InferenceAlgorithm):
     {uuid: samples} or a tuple in target order.
     """
 
+    #: Per-output-leaf data-axis declaration for chunked serving
+    #: (``inference.serving``): a tuple with one tuple of data-axis
+    #: indices per flattened output leaf of ONE target — e.g.
+    #: ``((1,), (1,))`` for (s, N, D) moments, ``((1,), (1, 2))`` when
+    #: the variance is a full (s, N, N) covariance. ``None`` = unknown;
+    #: the server then infers axes per leaf (and raises on ambiguity).
+    serving_data_axes = None
+
     def __init__(self, model, observed, num_samples=1, target_variables=None,
                  extra_graphs=None):
         super().__init__(model=model, observed=observed,

@@ -49,23 +49,33 @@ def _leaf_data_axes(shape, C, spec=None):
         return (hits[0],)
     if (len(shape) >= 2 and len(hits) == 2
             and hits == [len(shape) - 2, len(shape) - 1]):
-        # a trailing (C, C) pair COULD also be (rows, features) with a
-        # feature dim that happens to equal the chunk size — that case
-        # needs an explicit spec, so say what was assumed
-        import warnings
-        warnings.warn(
-            "serving: treating output leaf shape {} as a FULL "
-            "predictive covariance (block-diagonal across chunks). If "
-            "this leaf is actually (rows, features) with features == "
-            "chunk_size == {}, pass output_spec= to declare the data "
-            "axes explicitly.".format(shape, C), stacklevel=2)
-        return (len(shape) - 2, len(shape) - 1)
+        # a trailing (C, C) pair COULD be a full predictive covariance
+        # OR (rows, features) with a feature dim that happens to equal
+        # the chunk size — guessing silently mangles one of them (r4
+        # advisor finding), so the ambiguity is an error. Module
+        # prediction algorithms avoid it by declaring
+        # ``serving_data_axes`` (picked up automatically).
+        raise ValueError(
+            "ambiguous output leaf shape {} at chunk size {}: the "
+            "trailing (C, C) pair is either a full predictive "
+            "covariance (data axes ({}, {})) or (rows, features) with "
+            "features == chunk_size (data axis ({},)). Pass "
+            "output_spec=[...] to declare which.".format(
+                shape, C, len(shape) - 2, len(shape) - 1,
+                len(shape) - 2))
     raise ValueError(
         "cannot infer the data axes of output leaf shape {} at chunk "
         "size {} ({} axes match); pass output_spec=[...] with one "
         "tuple of data-axis indices per flattened output leaf (e.g. "
         "[(1,), (1, 2)] for a (s, C, D) mean and a (s, C, C) full "
         "covariance).".format(shape, C, len(hits)))
+
+
+class _DerivedSpec(list):
+    """An output_spec derived from a module's declared
+    ``serving_data_axes`` (vs user-supplied): on a leaf-count mismatch
+    the merge quietly falls back to per-leaf inference instead of
+    raising, since the user never wrote it."""
 
 
 def _merge_leaf(pieces_with_pad, axes, C, N):
@@ -133,9 +143,12 @@ def _chunked_predict(call, C, data, key, output_spec=None, dtypes=None):
 
     first = chunks[0][1]
     if output_spec is not None and len(output_spec) != len(first):
-        raise ValueError(
-            "output_spec has {} entries but the prediction has {} "
-            "output leaves.".format(len(output_spec), len(first)))
+        if isinstance(output_spec, _DerivedSpec):
+            output_spec = None  # derived guess wrong: infer per leaf
+        else:
+            raise ValueError(
+                "output_spec has {} entries but the prediction has {} "
+                "output leaves.".format(len(output_spec), len(first)))
     merged = []
     for j, x0 in enumerate(first):
         spec = output_spec[j] if output_spec is not None else None
@@ -193,6 +206,42 @@ class BatchedPredictor:
         if self._jitted is None:
             self._chunk = min(self.chunk_size, N)
             self._compile(names, [d[:self._chunk] for d in data])
+            if self.output_spec is None:
+                self.output_spec = self._declared_output_spec()
+
+    def _declared_output_spec(self):
+        """Ask the model's module prediction algorithm for its declared
+        ``serving_data_axes`` so full-covariance/multi-output leaves
+        never rely on shape guessing. Covers the common serving case —
+        the prediction targets are the outputs of a single module whose
+        dispatched algorithm declares its axes; anything else returns
+        None (per-leaf inference, which raises on truly ambiguous
+        shapes). The derived spec is SOFT: if its leaf count turns out
+        not to match the prediction output, the merge falls back to
+        inference rather than erroring."""
+        from ..modules.module import Module
+        alg = self._infr.inference_algorithm
+        targets = alg.target_variables
+        model = alg.model
+        modules = [f for f in model.ordered_factors
+                   if isinstance(f, Module)]
+        if len(modules) != 1:
+            return None
+        mod = modules[0]
+        mod_targets = [v.uuid for _, v in mod.outputs]
+        if targets is not None and set(targets) != set(mod_targets):
+            return None
+        try:
+            env = {v.uuid: None for _, v in mod.inputs}
+            mod_alg = mod._get_algorithm(
+                mod._prediction_algorithms, mod_targets, env,
+                exact_match=True)
+            axes = mod_alg.serving_data_axes
+        except Exception:
+            return None
+        if axes is None:
+            return None
+        return _DerivedSpec(tuple(axes) * len(mod_targets))
 
     def predict(self, key=None, **kwargs):
         """Predict for the named observed inputs; any leading-axis

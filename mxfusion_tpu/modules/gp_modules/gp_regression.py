@@ -125,6 +125,12 @@ class GPRegressionMeanVariancePrediction(SamplingAlgorithm):
         self.noise_free = noise_free
         self.diagonal_variance = diagonal_variance
 
+    @property
+    def serving_data_axes(self):
+        # (s, N, D) mean + (s, N, 1) diag var | (s, N, N) covariance
+        return ((1,), (1,)) if self.diagonal_variance \
+            else ((1,), (1, 2))
+
     def _predictive_moments(self, env):
         has_mean = self.model.F.factor.has_mean
         X = env[self.model.X]
@@ -167,6 +173,8 @@ class GPRegressionMeanVariancePrediction(SamplingAlgorithm):
 
 class GPRegressionSamplingPrediction(GPRegressionMeanVariancePrediction):
     """Posterior predictive sampling (reference gp_regression.py:199-275)."""
+
+    serving_data_axes = ((1,),)  # one (s, N, D) samples leaf
 
     def __init__(self, model, posterior, observed, rand_gen=None,
                  noise_free=True, diagonal_variance=True, jitter=0.0):

@@ -105,6 +105,10 @@ class LMCSVGPMeanVariancePrediction(SamplingAlgorithm):
         self.jitter = jitter
         self.whitened = whitened
 
+    # mean (s, N, C) + var (s, N, C) or cov (s, N, C, C): in every
+    # case the only data axis is axis 1 (trailing axes are outputs)
+    serving_data_axes = ((1,), (1,))
+
     def compute(self, env, ctx):
         posterior = self._extra_graphs[0]
         mu_g, var_g, _, _ = _q_f_moments(

@@ -118,6 +118,12 @@ class SparseGPRegressionMeanVariancePrediction(SamplingAlgorithm):
         self.noise_free = noise_free
         self.diagonal_variance = diagonal_variance
 
+    @property
+    def serving_data_axes(self):
+        # (s, N, D) mean + (s, N, 1) diag var | (s, N, N) covariance
+        return ((1,), (1,)) if self.diagonal_variance \
+            else ((1,), (1, 2))
+
     def _moments(self, env):
         has_mean = self.model.F.factor.has_mean
         X = env[self.model.X]
@@ -168,6 +174,8 @@ class SparseGPRegressionMeanVariancePrediction(SamplingAlgorithm):
 class SparseGPRegressionSamplingPrediction(
         SparseGPRegressionMeanVariancePrediction):
     """Predictive sampling (reference :175-257)."""
+
+    serving_data_axes = ((1,),)  # one (s, N, D) samples leaf
 
     def __init__(self, model, posterior, observed, rand_gen=None,
                  noise_free=True, diagonal_variance=True, jitter=0.0):

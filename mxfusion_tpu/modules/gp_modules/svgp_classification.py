@@ -194,6 +194,8 @@ class SVGPClassificationProbPrediction(SamplingAlgorithm):
     quadrature for the logit link, CLOSED FORM Φ(μ/√(1+σ²)) for the
     probit link. Returns {Y: (p, p(1−p))}."""
 
+    serving_data_axes = ((1,), (1,))  # (s, N, 1) probability moments
+
     def __init__(self, model, posterior, observed, jitter=0.0,
                  whitened=False, num_quadrature_points=20,
                  link="logit"):

@@ -77,6 +77,8 @@ class SVGPMultiClassProbPrediction(SamplingAlgorithm):
     """Predictive class probabilities: MC mean of softmax(f*).
     Returns {Y: (p, p(1−p))} with p of shape (s, N, C)."""
 
+    serving_data_axes = ((1,), (1,))  # (s, N, C): outputs trail
+
     def __init__(self, model, posterior, observed, jitter=0.0,
                  whitened=False, num_mc_samples=64, rand_gen=None):
         super().__init__(model=model, observed=observed,

@@ -33,6 +33,21 @@ from .svgp_classification import (_q_f_moments, _neg_kl,
                                   _gauss_hermite, _VAR_FLOOR)
 
 
+def _dispersion_vs_points(alpha):
+    """Shape a sampled dispersion for broadcasting against (s, N[, Q])
+    moments: scalar (s, 1) -> (s, 1, 1); per-point (s, N) or (s, N, 1)
+    -> (s, N, 1). The constructor/generative graph accept per-point
+    dispersion Variables, so the bound must too (r4 advisor finding:
+    the old scalar-only reshape raised for any non-scalar alpha)."""
+    if alpha.ndim == 3:
+        if alpha.shape[-1] != 1:
+            raise ValueError(
+                "dispersion must be scalar or one value per data row; "
+                "got event shape {}.".format(alpha.shape[1:]))
+        return alpha
+    return alpha[..., None]
+
+
 class SVGPNegBinomialLogPdf(VariationalInference):
     """ELBO  Σ_n E_{q(f_n)}[log NB(y_n | e^{f_n}, alpha)] − KL, by
     Gauss–Hermite quadrature (no closed form exists)."""
@@ -55,14 +70,14 @@ class SVGPNegBinomialLogPdf(VariationalInference):
             (Y,) = arrays_as_samples([Y])
             Y = jnp.broadcast_to(Y, (mu_f.shape[0],) + Y.shape[1:])
         (alpha,) = arrays_as_samples([alpha])
-        alpha = alpha.reshape(alpha.shape[0], 1, 1)      # (s,1,1)
+        alpha = _dispersion_vs_points(alpha)             # (s,1,1)|(s,N,1)
         D = Linvmu.shape[-1]
         y = Y[..., 0]                                    # (s, N)
         var_safe = jnp.maximum(var_f, _VAR_FLOOR)
 
         t, w = _gauss_hermite(self.num_quadrature_points, mu_f.dtype)
         f = mu_f[..., None] + jnp.sqrt(2.0 * var_safe)[..., None] * t
-        log_lik = nb_log_pmf(y[..., None], f, jnp.exp(f), alpha)
+        log_lik = nb_log_pmf(y[..., None], f, alpha)
         quad = jnp.sum(log_lik * w, axis=-1)
         logL = jnp.sum(quad, axis=-1)
         return self.log_pdf_scaling * logL + _neg_kl(Linvmu, LinvLs, D)
@@ -72,6 +87,8 @@ class SVGPNegBinomialPrediction(SamplingAlgorithm):
     """Predictive count moments: E[y*] = E[rate] (closed form under
     the log link), Var[y*] by total variance with the NB noise:
     Var[y] = E[rate] + alpha E[rate^2] + Var[rate]."""
+
+    serving_data_axes = ((1,), (1,))  # (s, N, 1) count moments
 
     def __init__(self, model, posterior, observed, jitter=0.0,
                  whitened=False):
@@ -86,7 +103,7 @@ class SVGPNegBinomialPrediction(SamplingAlgorithm):
         mu_f, var_f, _, _ = _q_f_moments(
             env, self.model, posterior, self.jitter, self.whitened)
         (alpha,) = arrays_as_samples([alpha])
-        alpha = alpha.reshape(alpha.shape[0], 1)
+        alpha = _dispersion_vs_points(alpha)[..., 0]     # (s,1)|(s,N)
         var_safe = jnp.maximum(var_f, _VAR_FLOOR)
         rate_mean = jnp.exp(mu_f + 0.5 * var_safe)
         # stable forms (the naive exp(2mu+2v) - exp(2mu+v) difference

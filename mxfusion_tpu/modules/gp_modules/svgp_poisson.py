@@ -105,6 +105,8 @@ class SVGPPoissonRatePrediction(SamplingAlgorithm):
     The COUNT variance adds the Poisson noise by total variance:
     Var[y*] = E[rate] + Var[rate]. Returns {Y: (mean, variance)}."""
 
+    serving_data_axes = ((1,), (1,))  # (s, N, 1) count moments
+
     def __init__(self, model, posterior, observed, jitter=0.0,
                  whitened=False, num_quadrature_points=20, link="log"):
         super().__init__(model=model, observed=observed,

@@ -157,3 +157,20 @@ def test_resume_rejects_mismatched_leaf_shapes(tmp_path):
     with pytest.raises(ValueError, match="shape"):
         infr.run(max_iter=20, learning_rate=0.1, y=y,
                  resume_state=state)
+
+
+def test_train_state_legacy_int_comparison_warns():
+    """Pre-0.4 callers did `step = load_params(...); step == n` — the
+    TrainState return must fail LOUDLY (deprecation warning + correct
+    value), not silently compare unequal (r4 advisor finding)."""
+    import warnings
+    from mxfusion_tpu.inference.grad_loop import TrainState
+    st = TrainState(step=500)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert int(st) == 500
+        assert st == 500
+        assert not (st == 499)
+        assert len([x for x in w
+                    if issubclass(x.category, DeprecationWarning)]) >= 2
+    assert not (st == "500")

@@ -277,3 +277,42 @@ def test_lmc_full_output_cov_serving_and_export(tmp_path):
     mu_32, cov_32 = served.predict(X=Xt.astype(np.float32))[0]
     np.testing.assert_allclose(np.asarray(mu_32), np.asarray(mu_s),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_ambiguous_trailing_square_leaf_raises():
+    """A trailing (C, C) leaf with no declared spec is AMBIGUOUS
+    (full covariance vs features == chunk_size) and must raise rather
+    than guess (r4 advisor finding)."""
+    from mxfusion_tpu.inference.serving import _leaf_data_axes
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ambiguous"):
+        _leaf_data_axes((1, 16, 16), 16)
+    # an unambiguous single data axis still infers fine
+    assert _leaf_data_axes((1, 16, 3), 16) == (1,)
+    # a declared spec overrides
+    assert _leaf_data_axes((1, 16, 16), 16, spec=(1, 2)) == (1, 2)
+
+
+def test_module_declared_spec_feeds_serving():
+    """GP module prediction algorithms declare serving_data_axes, so a
+    full-covariance single-module predictor derives its output_spec
+    instead of shape-guessing."""
+    from mxfusion_tpu.modules.gp_modules.gp_regression import \
+        GPRegressionMeanVariancePrediction
+    rng = np.random.default_rng(7)
+    m, infr = _trained_gp(rng)
+    gp = m.Y.factor
+    observed = [v for _, v in gp.inputs]
+    gp.attach_prediction_algorithms(
+        targets=gp.output_names, conditionals=gp.input_names,
+        algorithm=GPRegressionMeanVariancePrediction(
+            gp._module_graph, gp._extra_graphs[0], observed,
+            noise_free=False, diagonal_variance=False),
+        alg_name="gp_predict")
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=16)
+    Xt = np.linspace(0, 4, 20)[:, None]
+    mu, cov = pred.predict(X=Xt)[0]
+    assert list(pred.output_spec) == [(1,), (1, 2)]
+    assert np.asarray(cov).shape == (1, 20, 20)

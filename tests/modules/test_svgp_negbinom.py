@@ -179,3 +179,72 @@ def test_negbinom_svgp_sampling_path():
     assert s.shape == (8, 30, 1)
     assert np.all(s >= 0)
     assert np.allclose(s, np.round(s))
+
+
+def test_nb_log_pmf_overflow_free_at_tail_nodes():
+    """nb_log_pmf takes log-space mu: at float32 a Gauss-Hermite tail
+    node f ~ 120 would overflow exp(f) to inf — the logaddexp form must
+    stay finite and match the f64 closed form (r4 advisor finding)."""
+    import jax.numpy as jnp
+    from mxfusion_tpu.components.distributions.negative_binomial import \
+        nb_log_pmf
+    f = jnp.asarray([120.0, -120.0, 3.0], dtype=jnp.float32)
+    y = jnp.asarray([2.0, 0.0, 5.0], dtype=jnp.float32)
+    alpha = jnp.asarray(0.5, dtype=jnp.float32)
+    got = np.asarray(nb_log_pmf(y, f, alpha), dtype=np.float64)
+    assert np.all(np.isfinite(got)), got
+    # f64 closed form via scipy at the same (y, mu, alpha)
+    r = 2.0
+    mu = np.exp(np.asarray(f, dtype=np.float64))
+    expected = stats.nbinom.logpmf(np.asarray(y, np.float64), r,
+                                   r / (r + mu))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_negbinom_per_point_dispersion_bound_and_prediction():
+    """A per-point dispersion Variable (shape (N, 1)) flows through the
+    quadrature bound and the prediction without reshape errors, and
+    reduces to the scalar result when all entries are equal (r4
+    advisor finding: the old scalar-only reshape raised)."""
+    X, Y, _ = _nb_data(n=40)
+    M = 6
+    Z0 = np.linspace(0.2, 3.8, M)[:, None]
+
+    def build(disp):
+        m = Model()
+        m.N = Variable()
+        m.X = Variable(shape=(m.N, 1))
+        m.Y = SVGPNegBinomialRegression.define_variable(
+            X=m.X, kernel=RBF(input_dim=1, variance=1.3, lengthscale=0.9,
+                              dtype="float64"),
+            shape=(m.N, 1), dtype="float64", jitter=0.0,
+            dispersion=disp,
+            inducing_inputs=Variable(shape=(M, 1), initial_value=Z0))
+        alg = MAP(model=m, observed=[m.X, m.Y])
+        infr = GradBasedInference(inference_algorithm=alg,
+                                  dtype="float64")
+        infr.initialize(X=X, Y=Y)
+        ex = create_executor(alg, infr.params)
+        loss, _, _ = ex(infr.params.trainable_params(),
+                        infr.params.fixed_params(), [X, Y],
+                        jax.random.PRNGKey(0))
+        pred = TransferInference(ModulePredictionAlgorithm(
+            model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+            infr_params=infr.params)
+        mean, var = pred.run(X=X)[0]
+        return float(loss), np.asarray(mean), np.asarray(var)
+
+    l_scalar, mu_s, var_s = build(0.4)
+    l_vec, mu_v, var_v = build(Variable(
+        shape=(40, 1), initial_value=np.full((40, 1), 0.4)))
+    np.testing.assert_allclose(l_vec, l_scalar, rtol=1e-10)
+    np.testing.assert_allclose(mu_v, mu_s, rtol=1e-10)
+    np.testing.assert_allclose(var_v, var_s, rtol=1e-10)
+
+    # genuinely heterogeneous dispersion also evaluates finitely
+    disp = np.linspace(0.1, 1.2, 40)[:, None]
+    l_h, mu_h, var_h = build(Variable(shape=(40, 1),
+                                      initial_value=disp))
+    assert np.isfinite(l_h)
+    assert np.all(np.isfinite(var_h))
+    assert not np.allclose(var_h, var_s)
