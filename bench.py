@@ -10,12 +10,14 @@ Emits ONE JSON line with two tiers:
    comparison (r1: 4830.91, r2: 6529.06).
 2. Compute-bound tier (``compute_bound``): ms/step and TFLOP/s at the
    production shape (B=65536, M=512, D=32) at the library-default
-   data precision ("high" since r4), plus a HIGHEST-pinned run whose
-   %-of-ceiling against a matmul ceiling measured in the SAME process
-   (benchmarks/roofline.py machinery) is the PRIMARY REGRESSION GATE:
-   the script exits nonzero if it drops below the BASELINE.json north
-   star's 70%. Both runs execute at both precisions each round so the
-   default-mode speedup stays measured.
+   data precision ("default" 1-pass bf16 since r5 — cancellation-safe
+   residual bound + HIGH-floored guards, convergence equivalent:
+   benchmarks/precision_convergence.py), plus a HIGHEST-pinned run
+   whose %-of-ceiling against a matmul ceiling measured in the SAME
+   process (benchmarks/roofline.py machinery) is the PRIMARY
+   REGRESSION GATE: the script exits nonzero if it drops below the
+   BASELINE.json north star's 70%. Both runs execute at both
+   precisions each round so the default-mode speedup stays measured.
 
 The Kuu/Kuf kernel matrices are assembled by the XLA-fused jnp path
 (the Pallas variant defaults OFF: measured ~5% slower because
@@ -140,9 +142,10 @@ def main():
     # the in-process f32-HIGHEST matmul ceiling (BASELINE.json north
     # star). A failed gate exits nonzero AFTER printing the JSON line,
     # so an MFU regression cannot hide behind the latency-bound
-    # headline. The default-mode run (data_precision="high", the
-    # library default since r4 — measured 1.55x, convergence
-    # equivalent) is reported as the ms/step users actually get.
+    # headline. The default-mode run (data_precision="default", the
+    # library default since r5 — measured ~2x over HIGHEST,
+    # convergence equivalent via the residual-form bound + guards) is
+    # reported as the ms/step users actually get.
     compute_bound = None
     mfu_gate_ok = True
     try:
@@ -156,12 +159,12 @@ def main():
             ceiling = roofline.measure_matmul_ceiling(
                 4096, "float32", "HIGHEST", iters=32)
             # the ceiling that matches the default mode's data-side
-            # arithmetic (3-pass bf16), so its pct reads honestly
-            ceiling_high = roofline.measure_matmul_ceiling(
-                4096, "float32", "HIGH", iters=32)
-            # library default ("high" since r4): what users get
+            # arithmetic (1-pass bf16), so its pct reads honestly
+            ceiling_def = roofline.measure_matmul_ceiling(
+                4096, "float32", "DEFAULT", iters=32)
+            # library default ("default" since r5): what users get
             sec_def, tflops_def = roofline.run_svgp_config(
-                65536, 512, 32, steps=50, ceiling_tflops=ceiling_high)
+                65536, 512, 32, steps=50, ceiling_tflops=ceiling_def)
             # HIGHEST-pinned: apples-to-apples vs the f32-HIGHEST
             # ceiling — this is the gated MFU
             precision.set_data_precision("highest")
@@ -177,10 +180,10 @@ def main():
             "config": "svgp_step_b65536_m512_d32_f32",
             "ms_per_step": round(sec_def * 1e3, 3),
             "tflops": round(tflops_def, 2),
-            "data_precision": "high (library default)",
-            "ceiling_tflops_f32_high": round(ceiling_high, 2),
-            "pct_of_high_ceiling": round(
-                100.0 * tflops_def / ceiling_high, 1),
+            "data_precision": "default/1-pass-bf16 (library default)",
+            "ceiling_tflops_f32_default": round(ceiling_def, 2),
+            "pct_of_default_ceiling": round(
+                100.0 * tflops_def / ceiling_def, 1),
             "ms_per_step_highest": round(sec * 1e3, 3),
             "tflops_highest": round(tflops, 2),
             "ceiling_tflops_f32_highest": round(ceiling, 2),

@@ -116,23 +116,23 @@ def svgp_step_flops(B, M, D_in, D_out=1):
     """Analytic matmul-class FLOPs of one SVGP ELBO + backward + adam
     step (svgp_regression.py compute; backward ~2x the forward matmuls).
 
-    Forward:
+    Forward (r5 residual-form bound — the psi1Y product and its M x M
+    solve are gone; the mean path is Kuf^T w with w = L^-T L^-1 mu):
       Kuu gram            2 M^2 D_in
       Kuf gram            2 M B D_in
       S = W W^T           2 M^3
-      psi1Y               2 M B D_out
       chol(Kuu), chol(S)  2/3 M^3
       LinvLs (trsm)       M^3
       Linv formation      M^3          (wide_triangular_solve)
       LinvKuf = Linv@Kuf  2 M^2 B
-      KfuKuuInvmu         2 M B D_out
+      w = L^-T Linvmu     ~M^2 D_out
+      KfuKuuInvmu=Kuf^T w 2 M B D_out
       KfuKuuInvLs         2 M^2 B
-      LinvKufY, Linvmu    ~2 M^2 D_out
     """
     fwd = (2 * M * M * D_in + 2 * M * B * D_in + 2 * M ** 3 +
-           2 * M * B * D_out + (2.0 / 3.0) * M ** 3 + M ** 3 + M ** 3 +
-           2 * M * M * B + 2 * M * B * D_out + 2 * M * M * B +
-           2 * M * M * D_out)
+           (2.0 / 3.0) * M ** 3 + M ** 3 + M ** 3 +
+           2 * M * M * B + M * M * D_out + 2 * M * B * D_out +
+           2 * M * M * B)
     return 3.0 * fwd  # fwd + ~2x fwd for backward
 
 

@@ -109,8 +109,11 @@ def _q_f_moments(env, model, posterior, jitter, whitened,
         LinvLs = jsl.solve_triangular(L, Ls, lower=True)
         Linvmu = jsl.solve_triangular(L, mu, lower=True)
     if Linv is not None:
-        from ...ops.precision import data_einsum
-        LinvKuf = data_einsum("...ij,...jk->...ik", Linv, Kuf)
+        # forward floored at HIGH: LinvKuf feeds the var_f cancellation
+        # (Kff − Σ(LinvKuf)²) below, where 1-pass rounding is amplified
+        # exactly as in the regression trace pair (ops.precision notes)
+        from ...ops.precision import guarded_forward_matmul
+        LinvKuf = guarded_forward_matmul(Linv, Kuf)
     else:
         LinvKuf = wide_triangular_solve(L, Kuf, lower=True)
 

@@ -34,7 +34,8 @@ from ...ops.linalg import (make_diagonal, broadcast_to_w_samples,
                            wide_triangular_solve)
 from ...ops.precision import einsum as p_einsum
 from ...ops.precision import data_precision_scope
-from ...ops.precision import data_einsum
+from ...ops.precision import (data_einsum, guarded_data_einsum,
+                              guarded_forward_matmul)
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -95,8 +96,6 @@ class SVGPRegressionLogPdf(VariationalInference):
         if has_mean:
             Y = Y - env[self.model.mean]
 
-        psi1Y = data_einsum("...mn,...nd->...md", Kuf,
-                            Y / noise_var)
         # ONE batched Cholesky for the two independent M×M factors:
         # inside a compiled program the two factorizations would run
         # serially (each latency-bound); stacked they share the column
@@ -108,7 +107,7 @@ class SVGPRegressionLogPdf(VariationalInference):
         Linv = None
         if wide and not self.whitened:
             # the wide data solve materializes L⁻¹ anyway — reuse it
-            # for the narrow solves too (3 serial triangular kernels
+            # for the narrow solves too (2 serial triangular kernels
             # become MXU matmuls)
             from ...ops.linalg import triangular_inverse
             Linv = triangular_inverse(L, lower=True)
@@ -124,18 +123,24 @@ class SVGPRegressionLogPdf(VariationalInference):
             LinvLs = jsl.solve_triangular(L, Ls, lower=True)
             Linvmu = jsl.solve_triangular(L, mu, lower=True)
         if Linv is not None:
-            LinvKuf = data_einsum("...ij,...jk->...ik", Linv, Kuf)
+            LinvKuf = guarded_forward_matmul(Linv, Kuf)
         else:
             LinvKuf = wide_triangular_solve(L, Kuf, lower=True)
 
-        KfuKuuInvmu = data_einsum("...mn,...md->...nd", LinvKuf,
-                                  Linvmu)
+        # predictive-mean path m = Kufᵀ (Kuu⁻¹ mu): associated through
+        # the NARROW w-vector, never through the big 1-pass-relaxable
+        # L⁻¹Kuf product — m's rounding enters the bound as R·δm/σ²
+        # with |R| → σ at convergence, so it rides the guarded (≥HIGH)
+        # tier. O(M·N·D) — same flops as the Gᵀ·L⁻¹mu association.
+        if Linv is not None and not self.whitened:
+            w_vec = p_einsum("...ji,...jk->...ik", Linv, Linvmu)
+        else:
+            w_vec = jsl.solve_triangular(L, Linvmu, lower=True,
+                                         trans="T")
+        KfuKuuInvmu = guarded_data_einsum("...mn,...md->...nd", Kuf,
+                                          w_vec)
         KfuKuuInvLs = data_einsum("...mn,...mk->...nk", LinvKuf,
                                   LinvLs)
-        if Linv is not None:
-            LinvKufY = p_einsum("...ij,...jk->...ik", Linv, psi1Y)
-        else:
-            LinvKufY = jsl.solve_triangular(L, psi1Y, lower=True)
 
         sumlogdiag_Ls = jnp.sum(jnp.log(
             jnp.diagonal(Ls, axis1=-2, axis2=-1)), axis=-1)
@@ -150,18 +155,27 @@ class SVGPRegressionLogPdf(VariationalInference):
             - jnp.sum(jnp.square(LinvLs), axis=(-2, -1)) / 2.0 * D \
             - jnp.sum(jnp.square(Linvmu), axis=(-2, -1)) / 2.0
 
-        logL = -jnp.sum(jnp.square(Y) / noise_var + LOG2PI +
+        # RESIDUAL-FORM data fit (r5 redesign; reference keeps the
+        # expanded form, svgp_regression.py:98-107 there). The expanded
+        # sum −ΣY²/σ² − Σm²/σ² + 2ΣYm/σ² is three near-cancelling
+        # O(|Y|²) terms whose rounding the bound amplifies once the fit
+        # is tight (|Y−m| ≪ |Y|); computing the residual R = Y − m
+        # elementwise in f32 makes the term's error scale with |R|, not
+        # |Y|, which is what lets the 1-pass-bf16 data tier converge
+        # (benchmarks/NOTES.md r5). It also deletes the ψ₁Y matmul and
+        # its M×M solve outright (−2·M·N·D − M²·D flops). Same
+        # reorganization on the trace pair: Kff and qff are grouped
+        # into a per-point nonnegative residual BEFORE the β-weighted
+        # reduction, instead of two separately-reduced O(Kff) sums.
+        R = Y - KfuKuuInvmu                                  # (s, N, D)
+        qff_diag = jnp.sum(jnp.square(LinvKuf), axis=-2)     # (s, N)
+        logL = -jnp.sum(jnp.square(R) / noise_var + LOG2PI +
                         jnp.log(noise_var), axis=(-2, -1)) / 2.0
-        logL = logL - jnp.sum(Kff_diag * beta_sum, axis=-1) / 2.0
-        logL = logL - jnp.sum(jnp.square(KfuKuuInvmu) / noise_var,
-                              axis=(-2, -1)) / 2.0
+        logL = logL - jnp.sum((Kff_diag - qff_diag) * beta_sum,
+                              axis=-1) / 2.0
         logL = logL - jnp.sum(
             jnp.square(KfuKuuInvLs) * jnp.expand_dims(beta_sum, axis=-1),
             axis=(-2, -1)) / 2.0
-        logL = logL + jnp.sum(
-            jnp.square(LinvKuf) * jnp.expand_dims(beta_sum, axis=-2),
-            axis=(-2, -1)) / 2.0
-        logL = logL + jnp.sum(Linvmu * LinvKufY, axis=(-2, -1))
         logL = self.log_pdf_scaling * logL + KL_u
         return logL
 
@@ -177,6 +191,12 @@ class SVGPRegressionMeanVariancePrediction(SamplingAlgorithm):
         self.noise_free = noise_free
         self.diagonal_variance = diagonal_variance
         self.whitened = whitened
+
+    @property
+    def serving_data_axes(self):
+        # (s, N, D) mean + (s, N, 1) diag var | (s, N, N) covariance
+        return ((1,), (1,)) if self.diagonal_variance \
+            else ((1,), (1, 2))
 
     def _moments(self, env):
         has_mean = self.model.F.factor.has_mean
@@ -249,6 +269,8 @@ class SVGPRegressionMeanVariancePrediction(SamplingAlgorithm):
 
 class SVGPRegressionSamplingPrediction(SVGPRegressionMeanVariancePrediction):
     """Predictive sampling (reference :192-280)."""
+
+    serving_data_axes = ((1,),)  # one (s, N, D) samples leaf
 
     def __init__(self, model, posterior, observed, rand_gen=None,
                  noise_free=True, diagonal_variance=True, jitter=0.0,

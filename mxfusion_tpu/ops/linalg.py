@@ -44,7 +44,7 @@ def wide_triangular_solve(L, B, lower=True):
     no inverse materialization).
     """
     import jax.scipy.linalg as jsl
-    from .precision import data_einsum
+    from .precision import guarded_forward_matmul
     M = L.shape[-1]
     n_rhs = B.shape[-1]
     if n_rhs < 4 * M:
@@ -52,9 +52,13 @@ def wide_triangular_solve(L, B, lower=True):
     eye = jnp.eye(M, dtype=L.dtype)
     Linv = jsl.solve_triangular(L, jnp.broadcast_to(
         eye, L.shape[:-2] + (M, M)), lower=lower)
-    # the wide RHS is the data axis: runs at the configured data-side
-    # precision (ops.precision; default HIGHEST)
-    return data_einsum("...ij,...jk->...ik", Linv, B)
+    # the wide RHS is the data axis: the forward product is floored at
+    # HIGH — solve outputs routinely feed cancellation-amplified
+    # consumers (the SVGP trace pair), where a 1-pass product's 2^-8
+    # rounding stalls convergence — while cotangents ride the
+    # configured data tier (measured split:
+    # benchmarks/precision_convergence.py r5)
+    return guarded_forward_matmul(Linv, B)
 
 
 def triangular_inverse(L, lower=True):

@@ -26,19 +26,24 @@ def einsum(equation, *operands):
 # quality gracefully rather than destabilizing a factorization. They
 # dominate the FLOPs at production shapes. Modes, all measured on the
 # v5e (benchmarks/NOTES.md):
-#   "high"    3-pass bf16 — 1.55x on the B=65536/M=512 SVGP step
-#             (9.19 -> 5.92 ms, BENCH_r03); 20-epoch 10^6-point
-#             convergence equivalent to HIGHEST. THE DEFAULT since r4:
-#             every data-side site was audited (only products feeding
-#             the bound's reductions use data_einsum; Cholesky-feeding
-#             chains pin themselves via data_precision_scope), and the
-#             measured convergence is indistinguishable.
+#   "default" 1-pass bf16 for the tolerant bulk. THE DEFAULT since r5:
+#             the r4 blocker (late-stage convergence degradation on
+#             tight-noise regression) was root-caused to cancellation
+#             AMPLIFICATION, not to the bulk products themselves, and
+#             eliminated by (a) the residual-form SVGP data fit
+#             (svgp_regression.py) and (b) HIGH-precision floors at
+#             every cancellation-amplified site (guarded_data_einsum /
+#             guarded_forward_matmul below), which cost ~nothing.
+#             Measured: 9.20 -> 4.65 ms on the B=65536/M=512 step
+#             (1.98x over HIGHEST, 1.26x over "high") with the
+#             20-epoch 10^6-point tight-noise trajectory equivalent
+#             to HIGHEST (benchmarks/precision_convergence.py).
+#   "high"    3-pass bf16 everywhere data-side — the r4 default;
+#             5.88 ms at the same shape. Use if a NEW custom bound
+#             (not yet audited for cancellation) misbehaves at
+#             "default".
 #   "highest" f32 accumulation everywhere — the bit-conservative
 #             opt-out; use it when validating against f64 oracles.
-#   "default" 1-pass bf16 — 2.06x, but measured late-stage convergence
-#             degradation on tight-noise GP regression (the bound's
-#             near-cancelling terms amplify the 2^-8 rounding); only
-#             for early epochs / noise-dominated objectives.
 # Kuu-side grams, the R2 cross term (cancellation-sensitive), and
 # everything feeding a Cholesky ALWAYS stay HIGHEST regardless of this
 # flag. On CPU (the test platform) every mode is full f32/f64, so the
@@ -48,13 +53,14 @@ def einsum(equation, *operands):
 # jitted (a compiled function keeps whatever precision it traced with).
 # --------------------------------------------------------------------------
 
-DEFAULT_DATA_PRECISION = jax.lax.Precision.HIGH
+DEFAULT_DATA_PRECISION = jax.lax.Precision.DEFAULT
 _DATA_PRECISION = DEFAULT_DATA_PRECISION
 
 
 def set_data_precision(precision):
     """Set the precision for data-side (non-Cholesky-feeding) GP
-    contractions: "high" (default), "highest", or "default".
+    contractions: "default" (the library default), "high", or
+    "highest".
 
     TRACE-TIME flag: it is read when an executor is traced/jitted, so
     call it BEFORE building executors. Flipping it after a function has
@@ -75,6 +81,74 @@ def get_data_precision():
 def data_einsum(equation, *operands):
     """einsum at the configured data-side precision (see above)."""
     return jnp.einsum(equation, *operands, precision=_DATA_PRECISION)
+
+
+def _guard(prec):
+    if prec == jax.lax.Precision.DEFAULT:
+        return jax.lax.Precision.HIGH
+    return prec
+
+
+def guarded_data_einsum(equation, *operands):
+    """Data-side einsum that never drops below HIGH (3-pass bf16).
+
+    For the few data-side products whose rounding is AMPLIFIED
+    downstream — the residual path's Kufᵀw (its error enters the bound
+    multiplied by |R|/σ², and |R| → σ at convergence) — a 1-pass
+    product injects a 2⁻⁸-relative gradient bias that stalls
+    optimization (measured: benchmarks/precision_convergence.py, r5).
+    These sites are O(M·N·D) next to the O(M²·N) bulk, so guarding
+    them costs ~nothing while the bulk rides the configured tier.
+    """
+    return jnp.einsum(equation, *operands,
+                      precision=_guard(_DATA_PRECISION))
+
+
+def guarded_forward_matmul(A, B):
+    """``A @ B`` with the FORWARD product floored at HIGH and the
+    BACKWARD cotangent products at the configured data precision.
+
+    The asymmetry is measured, not aesthetic
+    (benchmarks/precision_convergence.py, r5, 10^6-point tight-noise
+    SVGP): a 1-pass-bf16 forward L⁻¹Kuf poisons the bound through its
+    cancellation-amplified consumers (the Kff−Qff trace pair, the
+    residual mean) and training stalls, while 1-pass COTANGENTS only
+    add ~2⁻⁸ relative noise to gradients that nothing downstream
+    differences — trajectory equivalent to all-HIGH, at ~2/3 of the
+    backward matmul passes. At "high"/"highest" both directions run at
+    the configured precision (identical to a plain einsum there).
+
+    NOTE: precision is read at TRACE time (like every flag here). The
+    custom_vjp wraps plain einsums, so it lowers to ordinary HLO dots —
+    no fusion barrier (unlike a Pallas custom call).
+    """
+    return _guarded_forward_matmul(A, B)
+
+
+@jax.custom_vjp
+def _guarded_forward_matmul(A, B):
+    return jnp.einsum("...ij,...jk->...ik", A, B,
+                      precision=_guard(_DATA_PRECISION))
+
+
+def _gfm_fwd(A, B):
+    return _guarded_forward_matmul(A, B), (A, B)
+
+
+def _gfm_bwd(res, dC):
+    A, B = res
+    # pin cotangent dtypes to the primals': a mixed-dtype cotangent
+    # (e.g. an f64 loss under the x64 test config differentiating an
+    # f32 product) would otherwise promote and trip jax's vjp dtype
+    # check
+    dA = jnp.einsum("...ik,...jk->...ij", dC, B,
+                    precision=_DATA_PRECISION).astype(A.dtype)
+    dB = jnp.einsum("...ji,...jk->...ik", A, dC,
+                    precision=_DATA_PRECISION).astype(B.dtype)
+    return dA, dB
+
+
+_guarded_forward_matmul.defvjp(_gfm_fwd, _gfm_bwd)
 
 
 from contextlib import contextmanager  # noqa: E402

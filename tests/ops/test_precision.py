@@ -10,16 +10,18 @@ def test_data_precision_flag_roundtrip_and_equivalence():
     import jax
     from mxfusion_tpu.ops import precision
 
-    # "high" has been the library default since r4 (measured 1.55x on
-    # the v5e with convergence equivalent to HIGHEST, BENCH_r03).
-    assert precision.DEFAULT_DATA_PRECISION == jax.lax.Precision.HIGH
+    # "default" (1-pass bf16 data tier behind HIGH-floored guards) has
+    # been the library default since r5 (measured 1.98x over HIGHEST on
+    # the v5e with convergence equivalent on the 10^6-point probe,
+    # benchmarks/precision_convergence.py).
+    assert precision.DEFAULT_DATA_PRECISION == jax.lax.Precision.DEFAULT
     assert precision.get_data_precision() == precision.DEFAULT_DATA_PRECISION
     a = np.random.default_rng(0).standard_normal((8, 16))
     b = np.random.default_rng(1).standard_normal((16, 4))
     base = np.asarray(precision.data_einsum("nk,kd->nd", a, b))
     try:
-        precision.set_data_precision("default")
-        assert precision.get_data_precision() == jax.lax.Precision.DEFAULT
+        precision.set_data_precision("high")
+        assert precision.get_data_precision() == jax.lax.Precision.HIGH
         out = np.asarray(precision.data_einsum("nk,kd->nd", a, b))
         np.testing.assert_allclose(out, base, rtol=1e-6)
         precision.set_data_precision(jax.lax.Precision.HIGHEST)
@@ -27,6 +29,63 @@ def test_data_precision_flag_roundtrip_and_equivalence():
     finally:
         precision.set_data_precision(precision.DEFAULT_DATA_PRECISION)
     assert precision.get_data_precision() == precision.DEFAULT_DATA_PRECISION
+
+
+def test_guarded_ops_floor_at_high_and_match_plain_matmul():
+    """guarded_data_einsum / guarded_forward_matmul floor the forward
+    precision at HIGH when the flag is DEFAULT (trace-time _guard), and
+    guarded_forward_matmul's custom VJP must produce exactly the plain
+    chain-rule cotangents (values are precision-identical on CPU)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mxfusion_tpu.ops import precision
+
+    assert precision._guard(jax.lax.Precision.DEFAULT) == \
+        jax.lax.Precision.HIGH
+    assert precision._guard(jax.lax.Precision.HIGH) == \
+        jax.lax.Precision.HIGH
+    assert precision._guard(jax.lax.Precision.HIGHEST) == \
+        jax.lax.Precision.HIGHEST
+
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((3, 5, 7)))
+    B = jnp.asarray(rng.standard_normal((3, 7, 4)))
+    try:
+        precision.set_data_precision("default")
+        out = precision.guarded_forward_matmul(A, B)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(A @ B), rtol=1e-12)
+        ge = precision.guarded_data_einsum("...ij,...jk->...ik", A, B)
+        np.testing.assert_allclose(np.asarray(ge),
+                                   np.asarray(A @ B), rtol=1e-12)
+
+        def f(a, b):
+            return jnp.sum(jnp.sin(precision.guarded_forward_matmul(a, b)))
+
+        def f_ref(a, b):
+            return jnp.sum(jnp.sin(a @ b))
+
+        gA, gB = jax.grad(f, argnums=(0, 1))(A, B)
+        rA, rB = jax.grad(f_ref, argnums=(0, 1))(A, B)
+        np.testing.assert_allclose(np.asarray(gA), np.asarray(rA),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(gB), np.asarray(rB),
+                                   rtol=1e-10)
+
+        # cotangent dtype stays pinned to the primal dtype even when
+        # the loss upstream is f64 (the x64 CPU test config)
+        A32 = A.astype(jnp.float32)
+        B32 = B.astype(jnp.float32)
+
+        def f64_loss(a, b):
+            return jnp.sum(
+                precision.guarded_forward_matmul(a, b).astype(jnp.float64))
+
+        g32A, g32B = jax.grad(f64_loss, argnums=(0, 1))(A32, B32)
+        assert g32A.dtype == jnp.float32 and g32B.dtype == jnp.float32
+    finally:
+        precision.set_data_precision(precision.DEFAULT_DATA_PRECISION)
 
 
 def test_data_precision_svgp_elbo_unchanged_on_cpu():
