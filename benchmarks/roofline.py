@@ -90,6 +90,45 @@ def measure_matmul_ceiling(n=4096, dtype="float32", precision="HIGHEST",
     return tflops
 
 
+def measure_hbm_ceiling(mb=512, iters=64):
+    """Sustained HBM bandwidth (GB/s): chained elementwise FMA over a
+    ``mb``-MB f32 buffer — each step reads and writes the full buffer,
+    nothing fits in VMEM, so time = 2·bytes / bandwidth."""
+    import jax.numpy as jnp
+
+    n = mb * 1024 * 1024 // 4
+    x0 = jnp.ones((n,), jnp.float32)
+    decay = jnp.float32(0.9999)  # keep the chain finite and non-denormal
+
+    def step(a, x):
+        return x * a + jnp.float32(1e-6)
+
+    sec = _timed_scan(step, decay, x0, iters)
+    gbs = 2.0 * n * 4 / sec / 1e9
+    print("HBM ceiling     {:4d} MB buffer: {:7.2f} ms/pass, "
+          "{:7.1f} GB/s".format(mb, sec * 1e3, gbs), flush=True)
+    return gbs
+
+
+def svgp_step_bytes(B, M, D_in, D_out=1):
+    """Analytic HBM traffic (bytes) of one SVGP step at f32, two
+    bounds (svgp_regression.py r5 residual bound; big = O(B·M) arrays,
+    everything O(M²) and O(B·D) is noise at production shapes).
+
+    "unfused": every big intermediate is materialized and re-read —
+      fwd: Kuf w; LinvKuf r(Kuf)+w; qff r(LinvKuf); V=LsᵀL⁻¹Kuf
+      r(LinvKuf)+w; ΣV²β r(V); m=Kufᵀw r(Kuf)  → 7 panels
+      bwd (cotangent chain re-reads saved Kuf/LinvKuf and writes/reads
+      dV, dLinvKuf, dKuf; kernel gram backward reads dKuf) → ~9 panels
+    "fused": XLA fuses each reduction into its producer and the
+      backward reuses tiles optimally — fwd 4 panels (Kuf w; r Kuf;
+      LinvKuf w; r LinvKuf ×1 amortized; r Kuf for m), bwd ~5.
+    Returns (unfused_bytes, fused_bytes).
+    """
+    panel = 4.0 * B * M  # one (M, B) f32 array
+    return (7 + 9) * panel, (4 + 5) * panel
+
+
 def measure_cholesky_ceiling(M=512, batch=64, dtype="float32", iters=16):
     """Sustained Cholesky TFLOP/s (batch x M x M, M^3/3 flops each)."""
     import jax.numpy as jnp
@@ -200,9 +239,49 @@ def run_svgp_config(B, M, D, steps=100, n_total=1_000_000,
     return sec, tflops
 
 
+def hbm_probe(B=65536, M=512, D=32):
+    """Memory- vs compute-boundedness of the flagship step (VERDICT r4
+    item 6): measured HBM + MXU ceilings, analytic bytes/flops of the
+    step, and where the measured time sits between the two lower
+    bounds."""
+    from mxfusion_tpu.ops import precision
+
+    bw = measure_hbm_ceiling()
+    ceil_def = measure_matmul_ceiling(4096, "float32", "DEFAULT",
+                                      iters=32)
+    precision.set_data_precision("default")
+    sec, _tf = run_svgp_config(B, M, D, steps=50)
+    precision.set_data_precision(precision.DEFAULT_DATA_PRECISION)
+
+    flops = svgp_step_flops(B, M, D)
+    t_mxu = flops / (ceil_def * 1e12)
+    hi_bytes, lo_bytes = svgp_step_bytes(B, M, D)
+    t_hbm_lo = lo_bytes / (bw * 1e9)
+    t_hbm_hi = hi_bytes / (bw * 1e9)
+    print("\nSVGP step B={} M={} D={} at data_precision=default:"
+          .format(B, M, D))
+    print("  measured            {:7.3f} ms".format(sec * 1e3))
+    print("  MXU lower bound     {:7.3f} ms  ({:.0f} GFLOP @ {:.1f} "
+          "TFLOP/s)".format(t_mxu * 1e3, flops / 1e9, ceil_def))
+    print("  HBM bound (fused)   {:7.3f} ms  ({:.2f} GB @ {:.0f} GB/s)"
+          .format(t_hbm_lo * 1e3, lo_bytes / 1e9, bw))
+    print("  HBM bound (unfused) {:7.3f} ms  ({:.2f} GB @ {:.0f} GB/s)"
+          .format(t_hbm_hi * 1e3, hi_bytes / 1e9, bw))
+    print("  achieved BW if traffic=fused:   {:6.0f} GB/s".format(
+        lo_bytes / sec / 1e9))
+    print("  achieved BW if traffic=unfused: {:6.0f} GB/s".format(
+        hi_bytes / sec / 1e9))
+    print("  memory-bound fraction (fused bytes): {:.0%}".format(
+        t_hbm_lo / sec), flush=True)
+
+
 def main():
     import jax
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+    if len(sys.argv) > 1 and sys.argv[1] == "hbm":
+        print("device:", jax.devices()[0], flush=True)
+        hbm_probe()
+        return
     print("device:", jax.devices()[0], flush=True)
 
     print("\n--- attainable ceilings (measured) ---")
