@@ -19,6 +19,10 @@ Emits ONE JSON line with two tiers:
    BASELINE.json north star's 70%. Both runs execute at both
    precisions each round so the default-mode speedup stays measured.
 
+Since r5 the JSON also carries secondary ``tiers`` (exact-GP step,
+ChEES-HMC draws/s, serving bulk rows/s — VERDICT r4 item 5) so every
+perf surface is tracked round-over-round, not only the SVGP tier.
+
 The Kuu/Kuf kernel matrices are assembled by the XLA-fused jnp path
 (the Pallas variant defaults OFF: measured ~5% slower because
 custom_vjp blocks consumer fusion — benchmarks/NOTES.md).
@@ -148,9 +152,9 @@ def main():
     # reported as the ms/step users actually get.
     compute_bound = None
     mfu_gate_ok = True
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
     try:
-        sys.path.insert(0, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
         import contextlib
         import roofline
         from mxfusion_tpu.ops import precision
@@ -201,6 +205,29 @@ def main():
         print("compute-bound tier failed: {!r}".format(e),
               file=sys.stderr)
 
+    # ---- secondary perf surfaces (r5, VERDICT item 5): exact-GP
+    # marginal-likelihood steps, ChEES-HMC sampling, and serving bulk
+    # throughput, recorded every round so a regression anywhere in the
+    # stack is visible in the BENCH history — not only the SVGP tier.
+    # Failures record an error string but do not fail the build (the
+    # MFU gate above is the only hard gate).
+    import contextlib as _ctx
+    extra_tiers = {}
+    for name, runner in [
+        ("exact_gp", lambda: __import__("gp_exact_1k").measure()),
+        ("mcmc_chees", lambda: __import__("mcmc_throughput")
+         .measure_chees()),
+        ("serving", lambda: __import__("serving_throughput")
+         .measure(quiet=True)),
+    ]:
+        try:
+            with _ctx.redirect_stdout(sys.stderr):
+                extra_tiers[name] = runner()
+        except Exception as e:
+            extra_tiers[name] = {"error": repr(e)}
+            print("{} tier failed: {!r}".format(name, e),
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": "svgp_svi_steps_per_sec_b1024_m128",
         "value": round(steps_per_sec, 2),
@@ -208,6 +235,7 @@ def main():
         "vs_baseline": round(steps_per_sec /
                              CPU_BASELINE_STEPS_PER_SEC, 2),
         "compute_bound": compute_bound,
+        "tiers": extra_tiers,
     }))
     if not mfu_gate_ok:
         if compute_bound is None:

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def main(n=1024, d=4, steps=200, spc=25):
+def measure(n=1024, d=4, steps=200, spc=25):
     import jax
     import jax.numpy as jnp
     import optax
@@ -83,7 +83,10 @@ def main(n=1024, d=4, steps=200, spc=25):
     print("exact GP N={} D={}: {:.3f} ms/step, {:.1f} steps/s, "
           "~{:.1f} GFLOP/s, -logL {:.1f} -> {:.1f}".format(
               n, d, dt * 1e3, 1 / dt, flops / dt / 1e9, first, final))
+    return {"config": "gp_exact_n{}_d{}".format(n, d),
+            "ms_per_step": round(dt * 1e3, 3),
+            "steps_per_sec": round(1.0 / dt, 1)}
 
 
 if __name__ == "__main__":
-    main()
+    measure()

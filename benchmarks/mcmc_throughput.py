@@ -15,41 +15,88 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from mxfusion_tpu import Model, Variable
-    from mxfusion_tpu.components.distributions import Normal
-    from mxfusion_tpu.components.functions.operators import (
-        broadcast_to, dot)
-    from mxfusion_tpu.inference import (SGLDAlgorithm, SGLDInference,
-                                        HMCAlgorithm, HMCInference)
+N, D, B, CHAINS = 100_000, 32, 1024, 8
 
-    N, D, B, CHAINS = 100_000, 32, 1024, 8
+
+def _make_data():
     rng = np.random.default_rng(0)
     X = rng.standard_normal((N, D)).astype(np.float32)
     w_true = rng.standard_normal((D, 1)).astype(np.float32)
     y = (X @ w_true + 0.5 * rng.standard_normal((N, 1))).astype(
         np.float32)
+    return X, y
 
-    def build(symbolic):
-        m = Model()
-        if symbolic:
-            m.n = Variable()
-            n = m.n
-        else:
-            n = N
-        m.X = Variable(shape=(n, D))
-        m.w = Normal.define_variable(
-            mean=broadcast_to(Variable(value=0.), (D, 1)),
-            variance=broadcast_to(Variable(value=1.), (D, 1)),
-            shape=(D, 1))
-        m.f = dot(m.X, m.w)
-        m.y = Normal.define_variable(
-            mean=m.f, variance=broadcast_to(Variable(value=0.25),
-                                            (n, 1)),
-            shape=(n, 1))
-        return m
+
+def _build(symbolic):
+    from mxfusion_tpu import Model, Variable
+    from mxfusion_tpu.components.distributions import Normal
+    from mxfusion_tpu.components.functions.operators import (
+        broadcast_to, dot)
+    m = Model()
+    if symbolic:
+        m.n = Variable()
+        n = m.n
+    else:
+        n = N
+    m.X = Variable(shape=(n, D))
+    m.w = Normal.define_variable(
+        mean=broadcast_to(Variable(value=0.), (D, 1)),
+        variance=broadcast_to(Variable(value=1.), (D, 1)),
+        shape=(D, 1))
+    m.f = dot(m.X, m.w)
+    m.y = Normal.define_variable(
+        mean=m.f, variance=broadcast_to(Variable(value=0.25),
+                                        (n, 1)),
+        shape=(n, 1))
+    return m
+
+
+def measure_chees(num_samples=1000, num_warmup=200):
+    """Compact ChEES-HMC tier for bench.py: full-data Bayesian linear
+    regression (N=100k, D=32), 8 chains, whole chain one XLA program.
+    Returns draws/s (kept draws over steady-state wall clock) and
+    full-data gradient evals/s."""
+    import jax
+    import jax.numpy as jnp
+    from mxfusion_tpu.inference import (ChEESHMCAlgorithm,
+                                        ChEESHMCInference)
+
+    X, y = _make_data()
+    m = _build(False)
+    alg = ChEESHMCAlgorithm(model=m, observed=[m.X, m.y],
+                            num_samples=num_samples,
+                            num_warmup=num_warmup, num_chains=CHAINS)
+    infr = ChEESHMCInference(inference_algorithm=alg)
+    t0 = time.perf_counter()
+    s = infr.run(X=X, y=y, key=jax.random.PRNGKey(0))
+    float(jnp.asarray(s[m.w.uuid]).reshape(-1)[0])
+    total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s = infr.run(X=X, y=y, key=jax.random.PRNGKey(1))
+    float(jnp.asarray(s[m.w.uuid]).reshape(-1)[0])
+    run_t = time.perf_counter() - t0
+    mean_leap = float(infr.diagnostics["mean_leapfrog_steps"])
+    grads = (num_samples + num_warmup) * (mean_leap + 1)
+    print("ChEES (N=100k full-data, D=%d, %d chains): %d kept draws "
+          "in %.2f s = %.0f draws/s; ~%.0f full-data gradient evals/s "
+          "(mean L=%.1f; first run incl. compile %.1f s)" % (
+              D, CHAINS, num_samples, run_t, num_samples / run_t,
+              grads / run_t, mean_leap, total), flush=True)
+    return {"config": "chees_blr_n100k_d32_c8",
+            "draws_per_sec": round(num_samples / run_t, 1),
+            "grad_evals_per_sec": round(grads / run_t),
+            "accept_rate": round(
+                float(np.mean(infr.diagnostics["accept_rate"])), 3)}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mxfusion_tpu.inference import (SGLDAlgorithm, SGLDInference,
+                                        HMCAlgorithm, HMCInference)
+
+    X, y = _make_data()
+    build = _build
 
     # ---- SGLD minibatch
     steps = 20_000
@@ -122,6 +169,9 @@ def main():
           "compile %.1f s)" % (D, CHAINS, K_t, leap, pt_samples, run3,
                                pt_samples / run3, total3))
     print("swap accept:", infr3.diagnostics["swap_accept_rate"].round(2))
+
+    # ---- ChEES-HMC adaptive tier (also the bench.py mcmc tier)
+    measure_chees()
 
 
 if __name__ == "__main__":

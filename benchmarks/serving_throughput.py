@@ -19,7 +19,7 @@ M, D = 256, 16
 CHUNK = 8192
 
 
-def main():
+def measure(n_rows=1_000_000, quiet=False):
     import jax
     from mxfusion_tpu import Model, Variable
     from mxfusion_tpu.components.variables import PositiveTransformation
@@ -28,7 +28,8 @@ def main():
     from mxfusion_tpu.inference import (MAP, GradBasedInference,
                                         BatchedPredictor)
 
-    print("device:", jax.devices()[0], flush=True)
+    if not quiet:
+        print("device:", jax.devices()[0], flush=True)
     rng = np.random.default_rng(0)
     X = rng.random((4096, D)).astype(np.float32) * 4
     Y = (np.sin(X[:, :1]) +
@@ -49,8 +50,8 @@ def main():
     pred = BatchedPredictor(model=m, infr_params=infr.params,
                             observed=[m.X], target_variables=[m.Y.uuid],
                             chunk_size=CHUNK)
-    # ---- bulk throughput: 10^6 rows
-    N = 1_000_000
+    # ---- bulk throughput
+    N = n_rows
     Xt = rng.random((N, D)).astype(np.float32) * 4
     pred.predict(X=Xt[:CHUNK])                     # compile
     t0 = time.perf_counter()
@@ -59,6 +60,7 @@ def main():
     assert np.asarray(mu).shape[-2] == N
     print("bulk: {} rows in {:.3f} s -> {:,.0f} rows/s "
           "(chunk {})".format(N, dt, N / dt, CHUNK), flush=True)
+    bulk_rows_per_sec = N / dt
 
     # ---- small-request latency (dispatch-bound tier)
     Xs = Xt[:128]
@@ -71,7 +73,11 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     print("small request (128 rows, padded to chunk): {:.2f} ms "
           "-> {:,.0f} req/s".format(dt * 1e3, 1.0 / dt), flush=True)
+    return {"config": "svgp_serving_m{}_d{}_chunk{}".format(M, D, CHUNK),
+            "bulk_rows": N,
+            "bulk_rows_per_sec": round(bulk_rows_per_sec),
+            "small_request_ms": round(dt * 1e3, 2)}
 
 
 if __name__ == "__main__":
-    main()
+    measure()
