@@ -1,18 +1,25 @@
-"""Generate the narrative notebook renders of the top tutorials.
+"""Generate the narrative notebook renders of the tutorials.
 
-The reference ships its tutorials as Jupyter notebooks
+The reference ships its tutorials as 8 Jupyter notebooks
 (/root/reference/examples/notebooks/); this repo's canonical tutorial
 form is tested .py scripts (examples/, smoke-run by
 tests/examples/test_examples.py). For docs parity, this script renders
-the top three as .ipynb with narrative markdown. Regenerate with:
+all 8 topics as .ipynb with narrative markdown. Regenerate with:
 
-    python examples/notebooks/generate.py
+    python examples/notebooks/generate.py            # cells only
+    python examples/notebooks/generate.py --execute  # + embed outputs
+
+--execute runs every code cell (shared namespace per notebook, CPU
+platform, fixed seeds) and embeds the captured stdout as real executed
+outputs, like the reference's committed notebooks.
 """
 import json
 import os
+import sys
 import uuid
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+WRITTEN = []
 
 
 def md(text):
@@ -41,6 +48,7 @@ def write(name, cells):
     path = os.path.join(HERE, name)
     with open(path, "w") as f:
         json.dump(nb, f, indent=1)
+    WRITTEN.append(name)
     print("wrote", path)
 
 
@@ -291,3 +299,482 @@ print("predictive mean abs error vs sin(x): {:.4f}".format(
 * `docs/migrating_from_mxfusion.md` — the API mapping from the
   reference framework."""),
 ])
+
+# ---------------------------------------------------------------- 4
+write("ppca_tutorial.ipynb", [
+    md("""# Probabilistic PCA
+
+Learn a 2-D latent representation of 5-D synthetic data with
+probabilistic PCA trained by reparameterized SVI — the counterpart of
+the reference's `ppca_tutorial.ipynb` (and the first BASELINE.json
+ladder config). The latents get a meanfield Normal posterior; the
+loading matrix and noise are point-estimated (MAP-style) alongside."""),
+    code("""
+import numpy as np
+
+from mxfusion_tpu import Model, Variable
+from mxfusion_tpu.components.distributions import Normal
+from mxfusion_tpu.components.functions.operators import (broadcast_to,
+                                                         dot)
+from mxfusion_tpu.components.variables import PositiveTransformation
+from mxfusion_tpu.inference import (
+    GradBasedInference, StochasticVariationalInference,
+    create_Gaussian_meanfield)
+
+N, K, D = 100, 2, 5
+rng = np.random.default_rng(0)
+w_true = rng.standard_normal((K, D))
+z_true = rng.standard_normal((N, K))
+x = z_true @ w_true + rng.standard_normal((N, D)) * 0.1
+"""),
+    md("""## Model
+
+`m.z` are the per-point latents with standard-Normal priors; `dot`
+(a deterministic operator factor) projects them through the loading
+matrix `m.w`; the observations are Normal around that projection.
+Every operator is a factor-graph node, so the whole generative
+density traces to one jaxpr."""),
+    code("""
+m = Model()
+m.w = Variable(shape=(K, D),
+               initial_value=rng.standard_normal((K, D)) * 0.1)
+m.z = Normal.define_variable(
+    mean=broadcast_to(Variable(value=0.), (N, K)),
+    variance=broadcast_to(Variable(value=1.), (N, K)),
+    shape=(N, K))
+m.x_mean = dot(m.z, m.w)
+m.noise = Variable(transformation=PositiveTransformation(),
+                   initial_value=0.1)
+m.x = Normal.define_variable(mean=m.x_mean,
+                             variance=broadcast_to(m.noise, (N, D)),
+                             shape=(N, D))
+"""),
+    md("""## Meanfield SVI
+
+`create_Gaussian_meanfield` builds the posterior graph over every
+unobserved random variable (here: `z`). The 5-sample reparameterized
+ELBO estimator and adam updates compile into a single jitted step."""),
+    code("""
+q = create_Gaussian_meanfield(model=m, observed=[m.x])
+alg = StochasticVariationalInference(num_samples=5, model=m,
+                                     posterior=q, observed=[m.x])
+infr = GradBasedInference(inference_algorithm=alg)
+losses = []
+infr.run(max_iter=1500, learning_rate=0.05, x=x,
+         callback=lambda i, l: losses.append(float(l)))
+print("loss: {:.1f} -> {:.1f}".format(losses[0], losses[-1]))
+"""),
+    md("""## Reconstruction
+
+The posterior mean of `z` times the learned loading matrix should
+reproduce the data up to the noise floor (~0.1)."""),
+    code("""
+z_post = np.asarray(infr.params[q.z.factor.mean])
+w_post = np.asarray(infr.params[m.w])
+recon = z_post @ w_post
+print("mean reconstruction error: {:.3f}".format(
+    np.abs(recon - x).mean()))
+"""),
+])
+
+# ---------------------------------------------------------------- 5
+write("bnn_regression.ipynb", [
+    md("""# Bayesian neural-network regression
+
+A flax MLP with Normal priors over all weights, trained with meanfield
+SVI; predictions by sampling the weight posterior — the counterpart of
+the reference's `bnn_regression.ipynb` (which wraps a Gluon block;
+here `FlaxFunction` wraps any flax `nn.Module` as a factor-graph
+function, and the per-sample evaluation is a `vmap`, not a loop)."""),
+    code("""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mxfusion_tpu import Model, Variable
+from mxfusion_tpu.components.distributions import Normal
+from mxfusion_tpu.components.functions import FlaxFunction
+from mxfusion_tpu.components.functions.operators import broadcast_to
+from mxfusion_tpu.components.variables import PositiveTransformation
+from mxfusion_tpu.inference import (
+    GradBasedInference, StochasticVariationalInference,
+    create_Gaussian_meanfield, VariationalPosteriorForwardSampling)
+
+N = 80
+rng = np.random.default_rng(0)
+X = np.sort(rng.uniform(-3, 3, (N, 1)), axis=0)
+Y = np.sin(X) + rng.standard_normal((N, 1)) * 0.1
+
+
+class MLP(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(16)(x)
+        x = jnp.tanh(x)
+        return nn.Dense(1)(x)
+"""),
+    md("""## Model: priors over network weights
+
+`FlaxFunction` lifts the MLP into the graph; its parameters become
+latent Variables, and `set_prior` attaches a standard-Normal prior to
+each (shapes broadcast automatically)."""),
+    code("""
+net = FlaxFunction(MLP(), name="f", input_shapes=[(N, 1)],
+                   rng_key=jax.random.PRNGKey(0))
+m = Model()
+m.x = Variable(shape=(N, 1))
+m.r = net(m.x)
+for _, v in m.r.factor.function.parameters.items():
+    v.set_prior(Normal(mean=broadcast_to(Variable(value=0.), v.shape),
+                       variance=broadcast_to(Variable(value=1.),
+                                             v.shape)))
+m.noise = Variable(transformation=PositiveTransformation(),
+                   initial_value=0.01)
+m.y = Normal.define_variable(mean=m.r,
+                             variance=broadcast_to(m.noise, (N, 1)),
+                             shape=(N, 1))
+"""),
+    md("""## Meanfield SVI over the weights"""),
+    code("""
+q = create_Gaussian_meanfield(model=m, observed=[m.x, m.y])
+alg = StochasticVariationalInference(num_samples=5, model=m,
+                                     posterior=q,
+                                     observed=[m.x, m.y])
+infr = GradBasedInference(inference_algorithm=alg)
+losses = []
+infr.run(max_iter=800, learning_rate=0.02, x=X, y=Y,
+         callback=lambda i, l: losses.append(float(l)))
+print("loss: {:.1f} -> {:.1f}".format(losses[0], losses[-1]))
+"""),
+    md("""## Posterior predictive
+
+`VariationalPosteriorForwardSampling` draws weights from the fitted
+posterior and pushes each draw through the network (vectorized over
+the sample axis)."""),
+    code("""
+fwd = VariationalPosteriorForwardSampling(
+    num_samples=100, observed=[m.x], inherited_inference=infr,
+    target_variables=[m.y])
+(samples,) = fwd.run(x=X)
+pred_mean = np.asarray(samples).mean(axis=0)
+print("posterior predictive mean abs error vs sin(x): {:.3f}".format(
+    np.abs(pred_mean - np.sin(X)).mean()))
+"""),
+])
+
+# ---------------------------------------------------------------- 6
+write("bnn_classification.ipynb", [
+    md("""# Bayesian neural-network classification
+
+Two-moons binary classification with a Categorical likelihood over
+MLP logits and Normal priors on the weights — the counterpart of the
+reference's `bnn_classification.ipynb`."""),
+    code("""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mxfusion_tpu import Model, Variable
+from mxfusion_tpu.components.distributions import Normal, Categorical
+from mxfusion_tpu.components.functions import FlaxFunction
+from mxfusion_tpu.components.functions.operators import broadcast_to
+from mxfusion_tpu.inference import (
+    GradBasedInference, StochasticVariationalInference,
+    create_Gaussian_meanfield)
+
+rng = np.random.default_rng(0)
+n_half = 50
+t = rng.uniform(0, np.pi, n_half)
+upper = np.stack([np.cos(t), np.sin(t)], -1)
+lower = np.stack([1 - np.cos(t), -np.sin(t) + 0.5], -1)
+X = np.concatenate([upper, lower]) + rng.standard_normal(
+    (2 * n_half, 2)) * 0.1
+Y = np.concatenate([np.zeros(n_half), np.ones(n_half)])[:, None]
+n = len(X)
+
+
+class MLP(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(16)(x)
+        x = jnp.tanh(x)
+        return nn.Dense(2)(x)
+"""),
+    md("""## Model
+
+The network emits per-class scores; `Categorical` consumes them as
+(normalized-inside) log-probabilities. Weight priors are standard
+Normals, as in the regression tutorial."""),
+    code("""
+net = FlaxFunction(MLP(), name="f", input_shapes=[(n, 2)],
+                   rng_key=jax.random.PRNGKey(0))
+m = Model()
+m.x = Variable(shape=(n, 2))
+m.r = net(m.x)
+for _, v in m.r.factor.function.parameters.items():
+    v.set_prior(Normal(mean=broadcast_to(Variable(value=0.), v.shape),
+                       variance=broadcast_to(Variable(value=1.),
+                                             v.shape)))
+m.y = Categorical.define_variable(log_prob=m.r, num_classes=2,
+                                  shape=(n, 1))
+"""),
+    md("""## Meanfield SVI"""),
+    code("""
+q = create_Gaussian_meanfield(model=m, observed=[m.x, m.y])
+alg = StochasticVariationalInference(num_samples=5, model=m,
+                                     posterior=q,
+                                     observed=[m.x, m.y])
+infr = GradBasedInference(inference_algorithm=alg)
+losses = []
+infr.run(max_iter=600, learning_rate=0.02, x=X, y=Y,
+         callback=lambda i, l: losses.append(float(l)))
+print("loss: {:.1f} -> {:.1f}".format(losses[0], losses[-1]))
+"""),
+    md("""## Decision quality at the posterior mean
+
+Evaluate the network at the posterior-mean weights (`q[v]` indexes
+the posterior graph by the model's weight variable)."""),
+    code("""
+params = {}
+for name, v in m.r.factor.function.parameters.items():
+    params[name] = jnp.asarray(
+        np.asarray(infr.params[q[v].factor.mean]))
+logits = m.r.factor.function.eval(params, f_input_0=jnp.asarray(X))
+acc = float((np.asarray(logits).argmax(-1) == Y[:, 0]).mean())
+print("train accuracy with posterior-mean weights: {:.3f}".format(acc))
+"""),
+])
+
+# ---------------------------------------------------------------- 7
+write("variational_auto_encoder.ipynb", [
+    md("""# Variational auto-encoder
+
+A flax decoder inside the generative model and a flax encoder inside
+the variational posterior — amortized inference trained end-to-end by
+reparameterized SVI. Counterpart of the reference's
+`variational_auto_encoder.ipynb`."""),
+    code("""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mxfusion_tpu import Model, Posterior, Variable
+from mxfusion_tpu.components.distributions import Normal
+from mxfusion_tpu.components.functions import FlaxFunction
+from mxfusion_tpu.components.functions.operators import broadcast_to
+from mxfusion_tpu.inference import (
+    GradBasedInference, StochasticVariationalInference)
+
+N, D, K = 100, 8, 2
+rng = np.random.default_rng(0)
+z_true = rng.standard_normal((N, K))
+proj = rng.standard_normal((K, D))
+x = np.tanh(z_true @ proj) + rng.standard_normal((N, D)) * 0.05
+
+
+class Decoder(nn.Module):
+    out: int
+
+    @nn.compact
+    def __call__(self, z):
+        h = jnp.tanh(nn.Dense(16)(z))
+        return nn.Dense(self.out)(h)
+
+
+class Encoder(nn.Module):
+    latent: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = jnp.tanh(nn.Dense(16)(x))
+        mean = nn.Dense(self.latent)(h)
+        log_var = nn.Dense(self.latent)(h)
+        return mean, jnp.exp(log_var) + 1e-6
+"""),
+    md("""## Generative model: decoder inside the graph"""),
+    code("""
+decoder = FlaxFunction(Decoder(out=D), name="dec",
+                       input_shapes=[(N, K)],
+                       rng_key=jax.random.PRNGKey(0))
+m = Model()
+m.z = Normal.define_variable(
+    mean=broadcast_to(Variable(value=0.), (N, K)),
+    variance=broadcast_to(Variable(value=1.), (N, K)),
+    shape=(N, K))
+m.x_mean = decoder(m.z)
+m.x = Normal.define_variable(
+    mean=m.x_mean,
+    variance=broadcast_to(Variable(value=0.01), (N, D)),
+    shape=(N, D))
+"""),
+    md("""## Amortized posterior: encoder inside the Posterior graph
+
+A `Posterior` replicates the model's variables; attaching the
+encoder's outputs as `q(z)`'s mean/variance makes the variational
+parameters a FUNCTION of the observed data (`num_outputs=2` splits
+the flax module's tuple output into two graph variables)."""),
+    code("""
+encoder = FlaxFunction(Encoder(latent=K), name="enc",
+                       input_shapes=[(N, D)], num_outputs=2,
+                       rng_key=jax.random.PRNGKey(1))
+q = Posterior(m)
+q_mean, q_var = encoder(q.x)
+q.z.set_prior(Normal(mean=q_mean, variance=q_var))
+"""),
+    md("""## Joint training
+
+One SVI objective trains decoder weights (model side) and encoder
+weights (posterior side) together."""),
+    code("""
+alg = StochasticVariationalInference(num_samples=3, model=m,
+                                     posterior=q, observed=[m.x])
+infr = GradBasedInference(inference_algorithm=alg)
+losses = []
+infr.run(max_iter=1000, learning_rate=0.01, x=x,
+         callback=lambda i, l: losses.append(float(l)))
+print("ELBO loss: {:.1f} -> {:.1f}".format(losses[0], losses[-1]))
+"""),
+])
+
+# ---------------------------------------------------------------- 8
+write("writing_a_new_distribution.ipynb", [
+    md("""# Writing a new distribution
+
+Implement a Gumbel distribution — log-pdf plus reparameterized
+sampling — and fit it by MAP, end-to-end. Counterpart of the
+reference's `writing_a_new_distribution.ipynb`. (That notebook's
+original exercise, an Exponential, already ships in
+`mxfusion_tpu.components.distributions`, so the tutorial builds
+something genuinely new.)
+
+A distribution needs three things:
+
+1. `__init__` declaring its input parameters,
+2. `log_pdf_impl` — plain jax.numpy on arrays that already carry the
+   leading sample axis,
+3. `draw_samples_impl` — sampling through the key-threaded random
+   generator; use the inverse CDF (or another pathwise form) and
+   gradients flow to the parameters automatically.
+
+Declare `support` if the variable lives on a constrained domain
+(e.g. `"positive"`) so MCMC/MAP auto-biject it."""),
+    code("""
+import numpy as np
+import jax.numpy as jnp
+
+from mxfusion_tpu import Model, Variable
+from mxfusion_tpu.components.distributions.distribution import \\
+    UnivariateDistribution
+from mxfusion_tpu.components.variables import PositiveTransformation
+from mxfusion_tpu.components.functions.operators import broadcast_to
+from mxfusion_tpu.inference import GradBasedInference, MAP
+
+
+class Gumbel(UnivariateDistribution):
+    \"\"\"Gumbel(location, scale):
+    log p(x) = -z - exp(-z) - log(scale), z = (x - location)/scale.\"\"\"
+
+    def __init__(self, location, scale, rand_gen=None, dtype=None):
+        super().__init__(
+            inputs=[("location", location), ("scale", scale)],
+            outputs=None,
+            input_names=["location", "scale"],
+            output_names=["random_variable"],
+            rand_gen=rand_gen, dtype=dtype)
+
+    def log_pdf_impl(self, random_variable, location, scale):
+        z = (random_variable - location) / scale
+        return -z - jnp.exp(-z) - jnp.log(scale)
+
+    def draw_samples_impl(self, rv_shape, num_samples, key, location,
+                          scale):
+        u = self._rand_gen.sample_uniform(
+            key, shape=(num_samples,) + rv_shape, dtype=self.dtype)
+        # inverse CDF, reparameterized: gradients flow to the params
+        return location - scale * jnp.log(-jnp.log(u))
+
+    @classmethod
+    def define_variable(cls, location=0., scale=1., shape=None,
+                        rand_gen=None, dtype=None):
+        dist = cls(location=location, scale=scale, rand_gen=rand_gen,
+                   dtype=dtype)
+        dist._generate_outputs(shape=shape)
+        return dist.random_variable
+"""),
+    md("""## Using it in a model
+
+Nothing else is needed: the new distribution is a first-class factor.
+Fit location and scale to 400 Gumbel draws by MAP (the positive scale
+trains in softplus space via its transformation)."""),
+    code("""
+rng = np.random.default_rng(0)
+true_loc, true_scale = 1.5, 0.8
+y = rng.gumbel(true_loc, true_scale, (400, 1))
+
+m = Model()
+m.loc = Variable(initial_value=0.0)
+m.scale = Variable(transformation=PositiveTransformation(),
+                   initial_value=1.0)
+m.y = Gumbel.define_variable(
+    location=broadcast_to(m.loc, (400, 1)),
+    scale=broadcast_to(m.scale, (400, 1)), shape=(400, 1))
+
+infr = GradBasedInference(
+    inference_algorithm=MAP(model=m, observed=[m.y]))
+infr.run(max_iter=400, learning_rate=0.1, y=y)
+print("MLE location: {:.3f} (true {})".format(
+    float(np.asarray(infr.params[m.loc]).ravel()[0]), true_loc))
+print("MLE scale:    {:.3f} (true {})".format(
+    float(np.asarray(infr.params[m.scale]).ravel()[0]), true_scale))
+"""),
+    md("""## Where to go next
+
+* `examples/writing_a_new_module.py` — the same exercise one level
+  up: a new Module with its own inference algorithms.
+* `tests/components/distributions/` — the KS/moment test pattern for
+  validating a new distribution's sampler against scipy.
+* `docs/design_documents/distributions.md` — the distribution layer's
+  design (sample-axis conventions, support declarations, bijectors)."""),
+])
+
+
+def execute_notebook(name):
+    """Run every code cell in one shared namespace and embed captured
+    stdout as executed outputs (the committed form matches how the
+    reference ships its notebooks: with outputs)."""
+    import contextlib
+    import io
+
+    path = os.path.join(HERE, name)
+    with open(path) as f:
+        nb = json.load(f)
+    ns = {"__name__": "__notebook__"}
+    count = 0
+    for cell in nb["cells"]:
+        if cell["cell_type"] != "code":
+            continue
+        count += 1
+        src = "".join(cell["source"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            exec(compile(src, "{}[{}]".format(name, count), "exec"), ns)
+        cell["execution_count"] = count
+        text = buf.getvalue()
+        cell["outputs"] = ([{"name": "stdout",
+                             "output_type": "stream",
+                             "text": text.splitlines(keepends=True)}]
+                           if text else [])
+    with open(path, "w") as f:
+        json.dump(nb, f, indent=1)
+    print("executed", path)
+
+
+if "--execute" in sys.argv:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(HERE)))
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # fast, deterministic
+    for _name in WRITTEN:
+        execute_notebook(_name)
