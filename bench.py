@@ -219,6 +219,10 @@ def main():
          .measure_chees()),
         ("serving", lambda: __import__("serving_throughput")
          .measure(quiet=True)),
+        # the fused Pallas gram path only engages at N >= 131072, so
+        # the B=65536 compute tier never sees it: its envelope tier
+        # (B=262144, paired A/B in-process) is recorded here (r5)
+        ("fused_gram", lambda: __import__("fused_ab").measure()),
     ]:
         try:
             with _ctx.redirect_stdout(sys.stderr):

@@ -87,7 +87,22 @@ class SVGPRegressionLogPdf(VariationalInference):
         Kuu = kern.K(Z, **kern_params)
         if self.jitter > 0.0:
             Kuu = Kuu + eye_m * self.jitter
-        Kuf = kern.K(Z, X, **kern_params)
+        N = X.shape[-2]
+        wide = N >= 4 * M
+        # Fused Pallas data path (r5): for the plain-RBF wide case on
+        # TPU at LARGE N, Kuf NEVER materializes in HBM — the gram
+        # tiles are assembled in VMEM and consumed by the L⁻¹-product
+        # directly (forward AND backward). Measured through this full
+        # step: tie at N=65536, 1.03x at 131072, 1.07x at 262144
+        # (benchmarks/NOTES.md r5 fused-gram entry) — pfg.supported()
+        # gates it to the winning envelope (N >= 131072).
+        from ...ops import pallas_fused_gram as pfg
+        use_fused = (pfg.enabled() and wide and not self.whitened
+                     and X.shape[0] == 1
+                     and type(kern).__name__ == "RBF"
+                     and getattr(kern, "active_dims", None) is None
+                     and pfg.supported(M, N, X.shape[-1], X.dtype))
+        Kuf = None if use_fused else kern.K(Z, X, **kern_params)
         Kff_diag = kern.Kdiag(X, **kern_params)
 
         S = p_einsum("...ik,...jk->...ij", S_W, S_W) + \
@@ -103,7 +118,6 @@ class SVGPRegressionLogPdf(VariationalInference):
         LL = jnp.linalg.cholesky(jnp.stack([Kuu, S], axis=-3))
         L = LL[..., 0, :, :]
         Ls = LL[..., 1, :, :]
-        wide = Kuf.shape[-1] >= 4 * M
         Linv = None
         if wide and not self.whitened:
             # the wide data solve materializes L⁻¹ anyway — reuse it
@@ -122,7 +136,13 @@ class SVGPRegressionLogPdf(VariationalInference):
         else:
             LinvLs = jsl.solve_triangular(L, Ls, lower=True)
             Linvmu = jsl.solve_triangular(L, mu, lower=True)
-        if Linv is not None:
+        if use_fused and Linv is not None:
+            _kp = kern._strip_prefix(kern_params)
+            ls = _kp["lengthscale"][0]
+            var = _kp["variance"][0].reshape(())
+            LinvKuf = pfg.fused_linv_rbf_gram(
+                Linv[0], Z[0] / ls, X[0] / ls, var)[None]
+        elif Linv is not None:
             LinvKuf = guarded_forward_matmul(Linv, Kuf)
         else:
             LinvKuf = wide_triangular_solve(L, Kuf, lower=True)
@@ -132,13 +152,21 @@ class SVGPRegressionLogPdf(VariationalInference):
         # L⁻¹Kuf product — m's rounding enters the bound as R·δm/σ²
         # with |R| → σ at convergence, so it rides the guarded (≥HIGH)
         # tier. O(M·N·D) — same flops as the Gᵀ·L⁻¹mu association.
-        if Linv is not None and not self.whitened:
-            w_vec = p_einsum("...ji,...jk->...ik", Linv, Linvmu)
+        if use_fused and Linv is not None:
+            # fused path: Kuf does not exist — associate through the
+            # ≥HIGH-accurate G instead (m = Gᵀ L⁻¹mu, same quantity,
+            # same flops; benchmarks/fused_gram_convergence.py is the
+            # trajectory-level A/B for this whole branch)
+            KfuKuuInvmu = guarded_data_einsum("...mn,...md->...nd",
+                                              LinvKuf, Linvmu)
         else:
-            w_vec = jsl.solve_triangular(L, Linvmu, lower=True,
-                                         trans="T")
-        KfuKuuInvmu = guarded_data_einsum("...mn,...md->...nd", Kuf,
-                                          w_vec)
+            if Linv is not None and not self.whitened:
+                w_vec = p_einsum("...ji,...jk->...ik", Linv, Linvmu)
+            else:
+                w_vec = jsl.solve_triangular(L, Linvmu, lower=True,
+                                             trans="T")
+            KfuKuuInvmu = guarded_data_einsum("...mn,...md->...nd",
+                                              Kuf, w_vec)
         KfuKuuInvLs = data_einsum("...mn,...mk->...nk", LinvKuf,
                                   LinvLs)
 
