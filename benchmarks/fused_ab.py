@@ -25,12 +25,16 @@ def measure(B=262144, M=512, D=32, steps=40):
     from mxfusion_tpu.ops import pallas_fused_gram as pfg
 
     was = pfg.enabled()
-    pfg.set_enabled(False)
     try:
+        # force each leg explicitly (don't inherit ambient state: if
+        # the flag were off, both legs would silently measure XLA and
+        # a fused-path regression would be invisible in BENCH history)
+        pfg.set_enabled(False)
         sec_xla, _ = roofline.run_svgp_config(B, M, D, steps=steps)
+        pfg.set_enabled(True)
+        sec_fused, _ = roofline.run_svgp_config(B, M, D, steps=steps)
     finally:
         pfg.set_enabled(was)
-    sec_fused, _ = roofline.run_svgp_config(B, M, D, steps=steps)
     return {
         "config": "svgp_step_b{}_m{}_d{}_f32_default".format(B, M, D),
         "ms_per_step_fused": round(sec_fused * 1e3, 3),

@@ -44,7 +44,11 @@ class TrainState:
         return int(self.step)
 
     def __eq__(self, other):
-        if isinstance(other, (int, float)):
+        # bool is an int subclass but `state == True` is a truthiness
+        # idiom, not a legacy step comparison — leave it to the default
+        # (identity) semantics rather than warn spuriously
+        if isinstance(other, (int, float)) and not isinstance(other,
+                                                              bool):
             import warnings
             warnings.warn(
                 "comparing a TrainState to a number: load_params "
@@ -53,6 +57,11 @@ class TrainState:
             return self.step == other
         return NotImplemented
 
+    # identity hash: strictly this breaks the eq/hash contract for the
+    # deprecated number comparison above (st == 500 without equal
+    # hashes) — accepted for a transition shim; TrainStates are not
+    # meant to be set/dict keys alongside ints, and the comparison
+    # itself already warns
     __hash__ = object.__hash__
 
     def restore_opt_state(self, template_opt_state):

@@ -30,7 +30,7 @@ from .inference_alg import create_sampling_executor
 from .prediction import ModulePredictionAlgorithm
 
 
-def _leaf_data_axes(shape, C, spec=None):
+def _leaf_data_axes(shape, C, spec=None, legacy_assume_cov=False):
     """Data axes of one output leaf of ``shape`` for chunk size ``C``.
 
     ``spec`` (a tuple/list of axis indices, from the caller's
@@ -41,6 +41,12 @@ def _leaf_data_axes(shape, C, spec=None):
       both trailing axes are data axes (block-diagonal merge)
     * anything else                           -> ambiguous; raise and
       ask for an explicit ``output_spec``
+
+    ``legacy_assume_cov``: pre-0.5 exported artifacts carry no
+    output_spec and cannot be retrofitted with one — for them the
+    trailing-(C, C) ambiguity keeps the old warn-and-assume-covariance
+    behavior instead of the hard error (re-export to get the declared
+    spec and silence the warning).
     """
     if spec is not None:
         return tuple(ax % len(shape) for ax in spec)
@@ -55,6 +61,15 @@ def _leaf_data_axes(shape, C, spec=None):
         # advisor finding), so the ambiguity is an error. Module
         # prediction algorithms avoid it by declaring
         # ``serving_data_axes`` (picked up automatically).
+        if legacy_assume_cov:
+            import warnings
+            warnings.warn(
+                "output leaf shape {} at chunk size {} is ambiguous; "
+                "assuming a full predictive covariance (legacy "
+                "artifact without an output_spec — re-export with "
+                "0.5+ to declare the axes).".format(shape, C),
+                RuntimeWarning)
+            return (len(shape) - 2, len(shape) - 1)
         raise ValueError(
             "ambiguous output leaf shape {} at chunk size {}: the "
             "trailing (C, C) pair is either a full predictive "
@@ -115,7 +130,8 @@ def _merge_leaf(pieces_with_pad, axes, C, N):
     return out
 
 
-def _chunked_predict(call, C, data, key, output_spec=None, dtypes=None):
+def _chunked_predict(call, C, data, key, output_spec=None, dtypes=None,
+                     legacy_assume_cov=False):
     """Shared chunk/pad/merge loop.
 
     ``call(chunk_list, subkey)`` returns the output pytree for one
@@ -152,7 +168,20 @@ def _chunked_predict(call, C, data, key, output_spec=None, dtypes=None):
     merged = []
     for j, x0 in enumerate(first):
         spec = output_spec[j] if output_spec is not None else None
-        axes = _leaf_data_axes(x0.shape, C, spec)
+        if spec is not None and isinstance(output_spec, _DerivedSpec):
+            # a DERIVED spec is a structural guess (one target's
+            # declared axes replicated across targets) — trust it only
+            # where the leaf's actual shape is consistent with it
+            # (every declared data axis must have size C); otherwise
+            # infer that leaf, which raises on true ambiguity instead
+            # of silently merging a (rows, features) leaf as a
+            # covariance
+            ok = all(-x0.ndim <= ax < x0.ndim
+                     and x0.shape[ax % x0.ndim] == C for ax in spec)
+            if not ok:
+                spec = None
+        axes = _leaf_data_axes(x0.shape, C, spec,
+                               legacy_assume_cov=legacy_assume_cov)
         merged.append(_merge_leaf(
             [(pad, leaves[j]) for pad, leaves in chunks], axes, C, N))
     return jax.tree_util.tree_unflatten(treedef, merged)
@@ -332,12 +361,17 @@ class ExportedPredictor:
         data = [np.asarray(kwargs[n]) for n in self._names]
         if key is None:
             key = jax.random.PRNGKey(0)
+        # an artifact saved without an output_spec cannot be
+        # retrofitted with a declared one (the model code is gone) —
+        # keep the pre-0.5 warn-and-assume behavior for its ambiguous
+        # leaves instead of crashing persisted deployments
         return _chunked_predict(
             lambda chunk, k: self._call(
                 self._trainable, self._fixed,
                 [jax.numpy.asarray(c) for c in chunk], k),
             self._chunk, data, key, output_spec=self._output_spec,
-            dtypes=self._dtypes)
+            dtypes=self._dtypes,
+            legacy_assume_cov=self._output_spec is None)
 
 
 def load_exported_predictor(path):

@@ -97,9 +97,14 @@ class SVGPRegressionLogPdf(VariationalInference):
         # (benchmarks/NOTES.md r5 fused-gram entry) — pfg.supported()
         # gates it to the winning envelope (N >= 131072).
         from ...ops import pallas_fused_gram as pfg
+        from ...components.distributions.gp.kernels import RBF as _RBF
+        # exact class identity (not isinstance): a subclass may
+        # override _compute_K, and the fused kernel hard-codes the
+        # plain-RBF gram — engaging it there would silently train
+        # against the wrong kernel
         use_fused = (pfg.enabled() and wide and not self.whitened
                      and X.shape[0] == 1
-                     and type(kern).__name__ == "RBF"
+                     and type(kern) is _RBF
                      and getattr(kern, "active_dims", None) is None
                      and pfg.supported(M, N, X.shape[-1], X.dtype))
         Kuf = None if use_fused else kern.K(Z, X, **kern_params)

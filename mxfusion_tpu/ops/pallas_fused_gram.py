@@ -23,9 +23,15 @@ only the transit share — not the whole block — is recoverable.)
 Precision: the G-product runs at HIGH (3-pass bf16) — it feeds the
 bound's Kff - Qff cancellation, same guard as
 `ops.precision.guarded_forward_matmul` (measured requirement,
-benchmarks/NOTES.md r5) — and the distance matmul at HIGHEST (it sits
-inside an exp; matches the XLA path's pinned gram). Cotangent dots run
-at DEFAULT (1-pass), like the guarded matmul's backward.
+benchmarks/NOTES.md r5). The distance matmul runs at hand-rolled
+3-pass HIGH, NOT the HIGHEST tier the XLA path pins for grams: the
+hi/lo split keeps ~f32 operand fidelity in the cancelling
+|z|^2+|x|^2-2zx expansion at half of HIGHEST's pass count, and the
+residual O(2^-24)-relative exponent rounding perturbs exp() far below
+the envelope's convergence tolerance (validated end-to-end by
+benchmarks/fused_gram_convergence.py — this is the ONE audited
+exception to CLAUDE.md's pin-Pallas-dots-at-HIGHEST rule). Cotangent
+dots run at DEFAULT (1-pass), like the guarded matmul's backward.
 
 Used by the SVGP regression bound when the kernel is a plain RBF on
 TPU (s = 1, f32, aligned shapes) — `svgp_regression.py` gates it; the
@@ -75,7 +81,11 @@ def _gram_tile(zs_ref, xs_ref, var):
     ones = jnp.ones((1, Xs.shape[1]), jnp.float32)
     xn = 0.5 * _dot_high(ones, Xs * Xs, ((1,), (1,)))         # (1, T)
     P = _dot_high(Zs, Xs, ((1,), (1,)))                       # (M, T)
-    return var * jnp.exp(P - zn - xn)
+    # clamp the exponent at 0 (i.e. R2 >= 0), matching the XLA RBF
+    # path's jnp.maximum(R2, 0): rounding in the expansion must not
+    # push K above var for near-coincident points (qff_diag > Kff_diag
+    # would over-shoot the trace residual)
+    return var * jnp.exp(jnp.minimum(P - zn - xn, 0.0))
 
 
 def _fwd_kernel(zs_ref, xs_ref, uhi_ref, ulo_ref, var_ref, g_ref):
@@ -269,8 +279,10 @@ def fused_linv_rbf_gram(Linv, Zs, Xs, var):
     scalar kernel variance. Returns ``G`` (M, N) float32.
 
     Forward G-product at HIGH (cancellation guard), gram distances at
-    HIGHEST, cotangents at DEFAULT — the same precision policy as the
-    XLA path it replaces (ops/precision.py).
+    hand-rolled 3-pass HIGH (see the module docstring for why this is
+    an audited exception to the HIGHEST-gram rule), cotangents at
+    DEFAULT — otherwise the same precision policy as the XLA path it
+    replaces (ops/precision.py).
     """
     var2d = jnp.reshape(var.astype(jnp.float32), (1, 1))
     return _call_fwd(Zs, Xs, U=Linv, var2d=var2d)
@@ -298,5 +310,5 @@ def reference_linv_rbf_gram(Linv, Zs, Xs, var):
     zn = 0.5 * jnp.sum(Zs * Zs, axis=1)[:, None]
     xn = 0.5 * jnp.sum(Xs * Xs, axis=1)[None, :]
     P = p_einsum("md,nd->mn", Zs, Xs)
-    K = var * jnp.exp(P - zn - xn)
+    K = var * jnp.exp(jnp.minimum(P - zn - xn, 0.0))
     return p_einsum("ij,jk->ik", Linv, K)

@@ -119,36 +119,37 @@ def guarded_forward_matmul(A, B):
     the configured precision (identical to a plain einsum there).
 
     NOTE: precision is read at TRACE time (like every flag here). The
-    custom_vjp wraps plain einsums, so it lowers to ordinary HLO dots —
-    no fusion barrier (unlike a Pallas custom call).
+    custom_jvp wraps plain einsums, so it lowers to ordinary HLO dots —
+    no fusion barrier (unlike a Pallas custom call). A custom_jvp (not
+    custom_vjp) so forward-mode AD works too: jax.hessian-based
+    consumers (LaplaceApproximation over GP-module models) need jvp
+    through the bound, and reverse mode falls out of transposing the
+    tangent rule — dot_general transposition preserves the precision
+    attribute, so cotangents ride the configured tier exactly as the
+    old vjp did.
     """
     return _guarded_forward_matmul(A, B)
 
 
-@jax.custom_vjp
+@jax.custom_jvp
 def _guarded_forward_matmul(A, B):
     return jnp.einsum("...ij,...jk->...ik", A, B,
                       precision=_guard(_DATA_PRECISION))
 
 
-def _gfm_fwd(A, B):
-    return _guarded_forward_matmul(A, B), (A, B)
-
-
-def _gfm_bwd(res, dC):
-    A, B = res
-    # pin cotangent dtypes to the primals': a mixed-dtype cotangent
-    # (e.g. an f64 loss under the x64 test config differentiating an
-    # f32 product) would otherwise promote and trip jax's vjp dtype
-    # check
-    dA = jnp.einsum("...ik,...jk->...ij", dC, B,
-                    precision=_DATA_PRECISION).astype(A.dtype)
-    dB = jnp.einsum("...ji,...jk->...ik", A, dC,
-                    precision=_DATA_PRECISION).astype(B.dtype)
-    return dA, dB
-
-
-_guarded_forward_matmul.defvjp(_gfm_fwd, _gfm_bwd)
+@_guarded_forward_matmul.defjvp
+def _gfm_jvp(primals, tangents):
+    A, B = primals
+    dA, dB = tangents
+    out = _guarded_forward_matmul(A, B)
+    # tangent products at the CONFIGURED tier (not the guarded floor):
+    # these transpose to the cotangent einsums of the r4 vjp, and DCE
+    # drops whichever side is not being differentiated
+    dout = (jnp.einsum("...ij,...jk->...ik", dA, B,
+                       precision=_DATA_PRECISION) +
+            jnp.einsum("...ij,...jk->...ik", A, dB,
+                       precision=_DATA_PRECISION))
+    return out, dout.astype(out.dtype)
 
 
 from contextlib import contextmanager  # noqa: E402

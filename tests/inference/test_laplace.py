@@ -91,6 +91,43 @@ def test_laplace_evidence_selects_the_right_model():
     assert evidence(X_good) > evidence(X_bad) + 10
 
 
+def test_laplace_hessian_through_wide_svgp_bound():
+    """Regression (r5): the wide-regime SVGP bound routes through
+    guarded_forward_matmul / wide_triangular_solve, which were briefly
+    a jax.custom_vjp — forward-mode AD (jax.hessian in
+    laplace_approximation) raised TypeError. Now a custom_jvp: the
+    Laplace pass over a module model with N >= 4M must run."""
+    from mxfusion_tpu.components.distributions import Gamma
+    from mxfusion_tpu.components.distributions.gp.kernels import RBF
+    from mxfusion_tpu.modules import SVGPRegression
+
+    rng = np.random.default_rng(2)
+    N, M = 48, 8
+    X = np.sort(rng.random((N, 1)) * 4, 0)
+    Y = np.sin(2 * X) + rng.standard_normal((N, 1)) * 0.1
+
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, 1))
+    m.noise_var = Gamma.define_variable(alpha=2.0, beta=20.0,
+                                        shape=(1,))
+    m.Y = SVGPRegression.define_variable(
+        X=m.X, kernel=RBF(input_dim=1, variance=1.0, lengthscale=1.0),
+        noise_var=m.noise_var, shape=(m.n, 1),
+        inducing_inputs=Variable(shape=(M, 1),
+                                 initial_value=np.linspace(
+                                     0, 4, M)[:, None]))
+    infr = GradBasedInference(MAP(model=m, observed=[m.X, m.Y]),
+                              dtype="float64")
+    infr.run(max_iter=200, learning_rate=0.03, X=X, Y=Y,
+             key=jax.random.PRNGKey(0))
+    res = laplace_approximation(infr, X=X, Y=Y)
+    assert np.isfinite(res.log_evidence)
+    mean, cov = res.marginal(m.noise_var)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert np.isfinite(np.asarray(cov)).all()
+
+
 def test_laplace_requires_map():
     from mxfusion_tpu.inference import (StochasticVariationalInference,
                                         create_Gaussian_meanfield)

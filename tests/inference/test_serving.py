@@ -293,7 +293,44 @@ def test_ambiguous_trailing_square_leaf_raises():
     assert _leaf_data_axes((1, 16, 16), 16, spec=(1, 2)) == (1, 2)
 
 
-def test_module_declared_spec_feeds_serving():
+def test_legacy_artifact_assumes_covariance_with_warning():
+    """Pre-0.5 exported artifacts carry no output_spec and cannot be
+    retrofitted — for them the trailing-(C, C) ambiguity must keep the
+    old warn-and-assume-covariance behavior instead of the hard error
+    (crash regression on persisted deployments, r5 review)."""
+    import warnings
+    from mxfusion_tpu.inference.serving import _leaf_data_axes
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        axes = _leaf_data_axes((1, 16, 16), 16, legacy_assume_cov=True)
+    assert axes == (1, 2)
+    assert any("legacy artifact" in str(x.message) for x in w)
+
+
+def test_derived_spec_validated_per_leaf():
+    """A module-DERIVED output_spec is a structural guess: a leaf whose
+    shape is inconsistent with its declared axes must fall back to
+    per-leaf inference (not silently merge a (rows, features) leaf as
+    a covariance; r5 review finding)."""
+    import jax as _jax
+    from mxfusion_tpu.inference.serving import (_chunked_predict,
+                                                _DerivedSpec)
+    C, N = 8, 16
+
+    def call(chunk, k):
+        x = np.asarray(chunk[0])
+        # leaf 0: (1, C, C) true covariance; leaf 1: (1, C, 3) rows x
+        # features — the derived spec wrongly declares it (1, 2)
+        return (np.ones((1, C, C)) * x[0, 0],
+                np.ones((1, C, 3)) * x[0, 0])
+
+    spec = _DerivedSpec([(1, 2), (1, 2)])
+    data = [np.arange(N, dtype=np.float64)[:, None]]
+    cov, feat = _chunked_predict(call, C, data,
+                                 _jax.random.PRNGKey(0),
+                                 output_spec=spec)
+    assert cov.shape == (1, N, N)        # merged block-diagonally
+    assert feat.shape == (1, N, 3)       # inferred: concat on axis 1
     """GP module prediction algorithms declare serving_data_axes, so a
     full-covariance single-module predictor derives its output_spec
     instead of shape-guessing."""
