@@ -95,14 +95,16 @@ class SVGPRegressionLogPdf(VariationalInference):
         # directly (forward AND backward). Measured through this full
         # step: tie at N=65536, 1.03x at 131072, 1.07x at 262144
         # (benchmarks/NOTES.md r5 fused-gram entry) — pfg.supported()
-        # gates it to the winning envelope (N >= 131072).
+        # gates it to the winning envelope (N >= 131072). Works for
+        # both parameterizations: whitened only changes the NARROW
+        # factors (LinvLs = Ls, Linvmu = mu), not the G-product.
         from ...ops import pallas_fused_gram as pfg
         from ...components.distributions.gp.kernels import RBF as _RBF
         # exact class identity (not isinstance): a subclass may
         # override _compute_K, and the fused kernel hard-codes the
         # plain-RBF gram — engaging it there would silently train
         # against the wrong kernel
-        use_fused = (pfg.enabled() and wide and not self.whitened
+        use_fused = (pfg.enabled() and wide
                      and X.shape[0] == 1
                      and type(kern) is _RBF
                      and getattr(kern, "active_dims", None) is None
@@ -124,10 +126,13 @@ class SVGPRegressionLogPdf(VariationalInference):
         L = LL[..., 0, :, :]
         Ls = LL[..., 1, :, :]
         Linv = None
-        if wide and not self.whitened:
+        if use_fused or (wide and not self.whitened):
             # the wide data solve materializes L⁻¹ anyway — reuse it
             # for the narrow solves too (2 serial triangular kernels
-            # become MXU matmuls)
+            # become MXU matmuls). The fused kernel consumes L⁻¹
+            # explicitly, so the whitened fused case materializes it
+            # here as well (wide_triangular_solve would have done the
+            # same internally).
             from ...ops.linalg import triangular_inverse
             Linv = triangular_inverse(L, lower=True)
         if self.whitened:

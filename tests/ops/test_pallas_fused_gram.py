@@ -73,6 +73,89 @@ def test_supported_envelope():
     assert not pfg.supported(512, (1 << 18) + 100, 32, f32)  # N % 256
 
 
+@pytest.mark.parametrize("whitened", [False, True])
+def test_bound_equivalence_through_module(monkeypatch, whitened):
+    """Drive the FULL SVGP bound (both parameterizations) through the
+    fused branch on CPU with the envelope monkeypatched down to test
+    size AND the kernel swapped for its exact-jnp reference: loss and
+    gradients must match the materialized-Kuf path tightly. This pins
+    the branch PLUMBING (lengthscale/variance extraction,
+    G-association of the mean, whitened narrow factors), which the
+    kernel-level tests above cannot see; the kernel's own bf16
+    arithmetic is pinned separately (tests above).
+
+    Runs in float64 deliberately: the M=128 random-input Kuu here is
+    ill-conditioned, and in f32 the conditioning amplifies last-bit
+    gram rounding through L⁻¹ into ~10x scalar-parameter gradient
+    noise in BOTH legs (measured) — drowning any plumbing signal. In
+    f64 that noise floor drops to ~1e-9 while a genuine wiring bug
+    (wrong scaling, wrong association, missed whitened factor) still
+    shows as O(1). Hardware-tier arithmetic equivalence is covered by
+    benchmarks/fused_gram_convergence.py on the TPU itself."""
+    from mxfusion_tpu import Model, Variable
+    from mxfusion_tpu.components.variables import PositiveTransformation
+    from mxfusion_tpu.components.distributions.gp.kernels import RBF
+    from mxfusion_tpu.modules import SVGPRegression
+    from mxfusion_tpu.inference import MAP, GradBasedInference, \
+        create_executor
+
+    monkeypatch.setattr(
+        pfg, "supported",
+        lambda M, N, D, dtype: M % 128 == 0 and N % 256 == 0)
+    monkeypatch.setattr(pfg, "fused_linv_rbf_gram",
+                        pfg.reference_linv_rbf_gram)
+
+    rng = np.random.default_rng(5)
+    N, M, D = 512, 128, 2
+    X = (rng.random((N, D)) * 4).astype(np.float64)
+    Y = (np.sin(2 * X[:, :1]) +
+         rng.standard_normal((N, 1)) * 0.1).astype(np.float64)
+
+    # build the model ONCE (shared uuids + initial params); the fused
+    # gate is a TRACE-TIME flag, so each leg gets its own executor
+    # traced under its flag state, evaluated on the same param dict
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, D))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.1)
+    m.Y = SVGPRegression.define_variable(
+        X=m.X, kernel=RBF(input_dim=D, variance=1.0, lengthscale=0.8),
+        noise_var=m.noise_var, shape=(m.n, 1), whitened=whitened,
+        inducing_inputs=Variable(
+            shape=(M, D),
+            initial_value=np.random.default_rng(1).random((M, D)) * 4))
+    alg = MAP(model=m, observed=[m.X, m.Y])
+    infr = GradBasedInference(inference_algorithm=alg, dtype="float64")
+    infr.initialize(X=X, Y=Y)
+    trainable = dict(infr.params.trainable_params())
+    fixed = dict(infr.params.fixed_params())
+
+    def loss_and_grads(fused):
+        pfg.set_enabled(fused)
+        try:
+            executor = create_executor(alg, infr.params)
+
+            def f(tr):
+                loss, loss_for_grad, _ = executor(
+                    tr, fixed, [X, Y], jax.random.PRNGKey(0))
+                return loss_for_grad
+
+            loss = f(trainable)
+            grads = jax.grad(f)(trainable)
+            return float(loss), grads
+        finally:
+            pfg.set_enabled(True)
+
+    loss_ref, g_ref = loss_and_grads(False)
+    loss_fused, g_fused = loss_and_grads(True)
+    assert abs(loss_fused - loss_ref) / abs(loss_ref) < 1e-9
+    for k in g_ref:
+        np.testing.assert_allclose(
+            np.asarray(g_fused[k]), np.asarray(g_ref[k]),
+            rtol=1e-6, atol=1e-8, err_msg=k)
+
+
 def test_kill_switch_roundtrip():
     assert pfg.enabled()
     pfg.set_enabled(False)
