@@ -112,8 +112,14 @@ def laplace_approximation(map_inference, key=None, **data):
         return -alg.model.log_pdf(env, ctx=RuntimeContext(key))
 
     flat0 = jnp.concatenate([mean[u].reshape(-1) for u in uuids])
-    nlp0 = float(neg_logp(flat0))
-    H = jax.hessian(neg_logp)(flat0)
+    # jax.hessian traces forward-mode; the fused gram op is a
+    # custom_vjp and would reject the jvp trace inside its envelope —
+    # force the XLA fallback for the whole pass (the one extra forward
+    # eval below costs nothing at Laplace-scale models)
+    from ..ops import pallas_fused_gram as _pfg
+    with _pfg.disabled():
+        nlp0 = float(neg_logp(flat0))
+        H = jax.hessian(neg_logp)(flat0)
     H = 0.5 * (H + H.T)
     L = jnp.linalg.cholesky(H)
     if bool(jnp.any(jnp.isnan(L))):

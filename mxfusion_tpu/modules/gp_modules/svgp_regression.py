@@ -146,7 +146,9 @@ class SVGPRegressionLogPdf(VariationalInference):
         else:
             LinvLs = jsl.solve_triangular(L, Ls, lower=True)
             Linvmu = jsl.solve_triangular(L, mu, lower=True)
-        if use_fused and Linv is not None:
+        if use_fused:
+            # Linv is guaranteed above (the use_fused arm materializes
+            # it); the kernel consumes it explicitly
             _kp = kern._strip_prefix(kern_params)
             ls = _kp["lengthscale"][0]
             var = _kp["variance"][0].reshape(())
@@ -162,7 +164,7 @@ class SVGPRegressionLogPdf(VariationalInference):
         # L⁻¹Kuf product — m's rounding enters the bound as R·δm/σ²
         # with |R| → σ at convergence, so it rides the guarded (≥HIGH)
         # tier. O(M·N·D) — same flops as the Gᵀ·L⁻¹mu association.
-        if use_fused and Linv is not None:
+        if use_fused:
             # fused path: Kuf does not exist — associate through the
             # ≥HIGH-accurate G instead (m = Gᵀ L⁻¹mu, same quantity,
             # same flops; benchmarks/fused_gram_convergence.py is the

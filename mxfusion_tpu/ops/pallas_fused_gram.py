@@ -39,6 +39,8 @@ XLA path is the fallback and the reference semantics
 (/root/reference/mxfusion/modules/gp_modules/svgp_regression.py:98-107
 keeps the expanded unfused form).
 """
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -153,9 +155,27 @@ def enabled():
 def set_enabled(flag):
     """Kill switch for the fused data path (trace-time, like the
     precision flags): ``set_enabled(False)`` forces the XLA fallback
-    everywhere."""
+    everywhere. The fused op is a ``custom_vjp``, so forward-mode AD
+    (``jax.jvp``/``jax.hessian``) cannot trace through it — wrap such
+    traces in :func:`disabled` (the library's Laplace approximation
+    does this itself)."""
     global _ENABLED
     _ENABLED = bool(flag)
+
+
+@contextlib.contextmanager
+def disabled():
+    """Force the XLA fallback for the duration of the block. Needed
+    around forward-mode AD (``jax.jvp``/``jax.jacfwd``/``jax.hessian``)
+    of a bound inside the fused envelope: ``custom_vjp`` functions
+    reject jvp tracing by design. Trace-time, like the gate itself."""
+    global _ENABLED
+    prev = _ENABLED
+    _ENABLED = False
+    try:
+        yield
+    finally:
+        _ENABLED = prev
 
 
 def set_interpret(flag):

@@ -128,6 +128,49 @@ def test_laplace_hessian_through_wide_svgp_bound():
     assert np.isfinite(np.asarray(cov)).all()
 
 
+def test_laplace_disables_fused_gram(monkeypatch):
+    """Regression (r5): the fused Pallas gram op is a custom_vjp, so a
+    jax.hessian trace through a bound inside its envelope raises
+    TypeError. laplace_approximation must force the XLA fallback for
+    its own traces (pfg.disabled()). The stand-in op raises if engaged
+    — the test passes iff Laplace never routes through the fused path
+    even when the envelope says it could."""
+    from mxfusion_tpu.components.distributions import Gamma
+    from mxfusion_tpu.components.distributions.gp.kernels import RBF
+    from mxfusion_tpu.modules import SVGPRegression
+    from mxfusion_tpu.ops import pallas_fused_gram as pfg
+
+    rng = np.random.default_rng(2)
+    N, M = 48, 8
+    X = np.sort(rng.random((N, 1)) * 4, 0)
+    Y = np.sin(2 * X) + rng.standard_normal((N, 1)) * 0.1
+
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, 1))
+    m.noise_var = Gamma.define_variable(alpha=2.0, beta=20.0,
+                                        shape=(1,))
+    m.Y = SVGPRegression.define_variable(
+        X=m.X, kernel=RBF(input_dim=1, variance=1.0, lengthscale=1.0),
+        noise_var=m.noise_var, shape=(m.n, 1),
+        inducing_inputs=Variable(shape=(M, 1),
+                                 initial_value=np.linspace(
+                                     0, 4, M)[:, None]))
+    infr = GradBasedInference(MAP(model=m, observed=[m.X, m.Y]),
+                              dtype="float64")
+    infr.run(max_iter=100, learning_rate=0.03, X=X, Y=Y,
+             key=jax.random.PRNGKey(0))
+
+    def _boom(*args, **kwargs):
+        raise AssertionError(
+            "fused gram op engaged inside a Laplace trace")
+
+    monkeypatch.setattr(pfg, "supported", lambda *a, **k: True)
+    monkeypatch.setattr(pfg, "fused_linv_rbf_gram", _boom)
+    res = laplace_approximation(infr, X=X, Y=Y)
+    assert np.isfinite(res.log_evidence)
+
+
 def test_laplace_requires_map():
     from mxfusion_tpu.inference import (StochasticVariationalInference,
                                         create_Gaussian_meanfield)

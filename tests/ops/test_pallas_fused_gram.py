@@ -102,8 +102,14 @@ def test_bound_equivalence_through_module(monkeypatch, whitened):
     monkeypatch.setattr(
         pfg, "supported",
         lambda M, N, D, dtype: M % 128 == 0 and N % 256 == 0)
+    calls = []
+
+    def _recording_reference(*args, **kwargs):
+        calls.append(1)
+        return pfg.reference_linv_rbf_gram(*args, **kwargs)
+
     monkeypatch.setattr(pfg, "fused_linv_rbf_gram",
-                        pfg.reference_linv_rbf_gram)
+                        _recording_reference)
 
     rng = np.random.default_rng(5)
     N, M, D = 512, 128, 2
@@ -148,7 +154,12 @@ def test_bound_equivalence_through_module(monkeypatch, whitened):
             pfg.set_enabled(True)
 
     loss_ref, g_ref = loss_and_grads(False)
+    assert not calls, "fused op ran with the gate disabled"
     loss_fused, g_fused = loss_and_grads(True)
+    # guard against vacuity: if any use_fused gate condition silently
+    # fails, both legs trace the identical XLA path and the equality
+    # below tests nothing
+    assert calls, "fused branch never engaged"
     assert abs(loss_fused - loss_ref) / abs(loss_ref) < 1e-9
     for k in g_ref:
         np.testing.assert_allclose(
