@@ -47,8 +47,13 @@ class TrainState:
         # bool is an int subclass but `state == True` is a truthiness
         # idiom, not a legacy step comparison — leave it to the default
         # (identity) semantics rather than warn spuriously
-        if isinstance(other, (int, float)) and not isinstance(other,
-                                                              bool):
+        import numbers
+        if (isinstance(other, numbers.Number)
+                and not isinstance(other, bool)):
+            # numbers.Number also admits np.int64/np.float64 steps —
+            # a numpy comparand falling through to NotImplemented
+            # would silently compare False, the exact failure mode
+            # this shim exists to make loud
             import warnings
             warnings.warn(
                 "comparing a TrainState to a number: load_params "

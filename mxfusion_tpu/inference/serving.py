@@ -144,6 +144,13 @@ def _chunked_predict(call, C, data, key, output_spec=None, dtypes=None,
         data = [d.astype(dt, copy=False)
                 for d, dt in zip(data, dtypes)]
     N = data[0].shape[0]
+    if N == 0:
+        # an all-padding chunk cannot be synthesized from zero rows
+        # (there is no row to repeat), so the output structure is
+        # unknowable here — fail loudly instead of IndexError below
+        raise ValueError(
+            "predict() called with zero rows; chunked serving needs at "
+            "least one input row.")
     chunks = []      # (pad, flat leaves) per chunk
     treedef = None
     for i in range(0, N, C):
@@ -334,7 +341,14 @@ class BatchedPredictor:
                 "output_spec": ([list(t) for t in self.output_spec]
                                 if self.output_spec is not None
                                 else None),
-                "format_version": "1.1"}
+                # a spec derived from serving_data_axes is a structural
+                # guess (and may never have been validated if export()
+                # ran before any predict) — record that so the loader
+                # restores the SOFT per-leaf-validated semantics
+                # instead of treating it as a user declaration
+                "output_spec_derived": isinstance(self.output_spec,
+                                                  _DerivedSpec),
+                "format_version": "1.2"}
         with zipfile.ZipFile(path, "w") as zf:
             zf.writestr("function.bin", exported.serialize())
             zf.writestr("params.npz", payload.getvalue())
@@ -347,7 +361,7 @@ class ExportedPredictor:
     contract, no model rebuild, no framework graph machinery."""
 
     def __init__(self, exported, trainable, fixed, names, chunk,
-                 dtypes=None, output_spec=None):
+                 dtypes=None, output_spec=None, legacy_assume_cov=False):
         self._exported = exported
         self._trainable = trainable
         self._fixed = fixed
@@ -355,23 +369,27 @@ class ExportedPredictor:
         self._chunk = chunk
         self._dtypes = dtypes
         self._output_spec = output_spec
+        self._legacy_assume_cov = legacy_assume_cov
         self._call = jax.jit(exported.call)
 
     def predict(self, key=None, **kwargs):
         data = [np.asarray(kwargs[n]) for n in self._names]
         if key is None:
             key = jax.random.PRNGKey(0)
-        # an artifact saved without an output_spec cannot be
-        # retrofitted with a declared one (the model code is gone) —
-        # keep the pre-0.5 warn-and-assume behavior for its ambiguous
-        # leaves instead of crashing persisted deployments
+        # legacy_assume_cov is set by the loader ONLY for format 1.0
+        # artifacts: those predate output_spec and cannot be
+        # retrofitted with one (the model code is gone), so their
+        # ambiguous leaves keep the pre-0.5 warn-and-assume behavior.
+        # A 1.1+ artifact without a derivable spec raises on ambiguity
+        # exactly like the live BatchedPredictor (keying legacy mode on
+        # spec-is-None would silently regress new exports to guessing).
         return _chunked_predict(
             lambda chunk, k: self._call(
                 self._trainable, self._fixed,
                 [jax.numpy.asarray(c) for c in chunk], k),
             self._chunk, data, key, output_spec=self._output_spec,
             dtypes=self._dtypes,
-            legacy_assume_cov=self._output_spec is None)
+            legacy_assume_cov=self._legacy_assume_cov)
 
 
 def load_exported_predictor(path):
@@ -379,9 +397,10 @@ def load_exported_predictor(path):
     with zipfile.ZipFile(path) as zf:
         exported = jax.export.deserialize(zf.read("function.bin"))
         meta = json.loads(zf.read("meta.json"))
-        if meta.get("format_version") not in ("1.0", "1.1"):
+        version = meta.get("format_version")
+        if version not in ("1.0", "1.1", "1.2"):
             raise ValueError("unsupported predictor artifact version: "
-                             "{}".format(meta.get("format_version")))
+                             "{}".format(version))
         arrays = np.load(io.BytesIO(zf.read("params.npz")))
         trainable = {k[3:]: jax.numpy.asarray(arrays[k])
                      for k in arrays.files if k.startswith("t::")}
@@ -391,6 +410,13 @@ def load_exported_predictor(path):
         if meta.get("input_dtypes") else None
     spec = [tuple(t) for t in meta["output_spec"]] \
         if meta.get("output_spec") else None
+    if spec is not None and meta.get("output_spec_derived"):
+        # restore the derived spec's SOFT semantics: per-leaf shape
+        # validation with fallback to inference, exactly as the live
+        # BatchedPredictor treats it (1.2+ artifacts record the flag)
+        spec = _DerivedSpec(spec)
     return ExportedPredictor(exported, trainable, fixed,
                              meta["names"], meta["chunk"],
-                             dtypes=dtypes, output_spec=spec)
+                             dtypes=dtypes, output_spec=spec,
+                             legacy_assume_cov=(spec is None
+                                                and version == "1.0"))

@@ -195,10 +195,18 @@ def supported(M, N, D, dtype):
     """Envelope: f32, lane-aligned M, a data axis big enough that the
     saved panel transits beat the kernel's fixed costs (measured
     crossover ~N=131072 at M=512 — see module docstring), D small
-    enough that (T, D) stays a thin block, TPU backend."""
+    enough that (T, D) stays a thin block, TPU backend.
+
+    M is capped at 512: the kernel holds u_hi+u_lo (4·M² B), the K and
+    G tiles (2·4·M·T B) and, in the backward pass, U and dU in f32
+    (2·4·M² B) resident in VMEM — at M=512/T=1024 that is ~7 MB
+    against the ~16 MB core budget, while M=1024 already needs ~26 MB
+    and would fail Mosaic compilation where the XLA fallback works.
+    Nothing above M=512 (or D=32 beyond thin-block reasoning) has been
+    measured; outside the cap the materialized-Kuf path serves."""
     if dtype != jnp.float32:
         return False
-    if M % _LANE or M > 2048 or D > 512:
+    if M % _LANE or M > 512 or D > 128:
         return False
     if N < 131072 or N % 256:
         return False

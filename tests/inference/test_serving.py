@@ -331,6 +331,9 @@ def test_derived_spec_validated_per_leaf():
                                  output_spec=spec)
     assert cov.shape == (1, N, N)        # merged block-diagonally
     assert feat.shape == (1, N, 3)       # inferred: concat on axis 1
+
+
+def test_gp_module_derives_output_spec():
     """GP module prediction algorithms declare serving_data_axes, so a
     full-covariance single-module predictor derives its output_spec
     instead of shape-guessing."""
@@ -353,3 +356,122 @@ def test_derived_spec_validated_per_leaf():
     mu, cov = pred.predict(X=Xt)[0]
     assert list(pred.output_spec) == [(1,), (1, 2)]
     assert np.asarray(cov).shape == (1, 20, 20)
+
+
+def test_new_artifact_without_spec_raises_on_ambiguity():
+    """legacy warn-and-assume is keyed on the artifact FORMAT (1.0),
+    not on output_spec-is-None: a new export that happens to carry no
+    derivable spec must hard-error on an ambiguous (C, C) leaf exactly
+    like the live BatchedPredictor (r5 second review: keying legacy
+    mode on spec-is-None silently regressed new exports to guessing)."""
+    import warnings
+    import jax as _jax
+    import pytest as _pytest
+    from mxfusion_tpu.inference.serving import ExportedPredictor
+
+    C = 8
+
+    class _Stub:
+        @staticmethod
+        def call(trainable, fixed, chunk, key):
+            return (chunk[0][:, :1] * 0 + np.ones((1, C, C)),)
+
+    Xt = np.arange(2 * C, dtype=np.float32)[:, None]
+    new = ExportedPredictor(_Stub, {}, {}, ["X"], C,
+                            legacy_assume_cov=False)
+    with _pytest.raises(ValueError, match="ambiguous"):
+        new.predict(X=Xt)
+    legacy = ExportedPredictor(_Stub, {}, {}, ["X"], C,
+                               legacy_assume_cov=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        (cov,) = legacy.predict(X=Xt)
+    assert cov.shape == (1, 2 * C, 2 * C)
+    assert any("legacy artifact" in str(x.message) for x in w)
+
+
+def test_loader_keys_legacy_mode_on_format_version(tmp_path):
+    """Zip surgery on a real artifact: version 1.0 + no spec loads in
+    legacy assume-covariance mode; current version + no spec does NOT
+    (it gets the live hard-error semantics)."""
+    import io as _io
+    import json as _json
+    import zipfile as _zipfile
+    from mxfusion_tpu.inference import load_exported_predictor
+
+    rng = np.random.default_rng(11)
+    m, infr = _trained_gp(rng)
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=16)
+    path = str(tmp_path / "p.zip")
+    pred.export(path, X=np.linspace(0, 4, 16)[:, None])
+
+    def rewrite(version):
+        with _zipfile.ZipFile(path) as zf:
+            items = {n: zf.read(n) for n in zf.namelist()}
+        meta = _json.loads(items["meta.json"])
+        meta["format_version"] = version
+        meta["output_spec"] = None
+        meta["output_spec_derived"] = False
+        items["meta.json"] = _json.dumps(meta)
+        out = str(tmp_path / ("p_" + version + ".zip"))
+        with _zipfile.ZipFile(out, "w") as zf:
+            for n, b in items.items():
+                zf.writestr(n, b)
+        return out
+
+    old = load_exported_predictor(rewrite("1.0"))
+    assert old._legacy_assume_cov is True
+    new = load_exported_predictor(rewrite("1.2"))
+    assert new._legacy_assume_cov is False
+
+
+def test_exported_derived_spec_stays_soft(tmp_path):
+    """An output_spec DERIVED from serving_data_axes keeps its soft
+    per-leaf-validated semantics through export/load (r5 second
+    review: it was serialized as an authoritative user spec)."""
+    from mxfusion_tpu.inference import load_exported_predictor
+    from mxfusion_tpu.inference.serving import _DerivedSpec
+    from mxfusion_tpu.modules.gp_modules.gp_regression import \
+        GPRegressionMeanVariancePrediction
+
+    rng = np.random.default_rng(13)
+    m, infr = _trained_gp(rng)
+    gp = m.Y.factor
+    observed = [v for _, v in gp.inputs]
+    gp.attach_prediction_algorithms(
+        targets=gp.output_names, conditionals=gp.input_names,
+        algorithm=GPRegressionMeanVariancePrediction(
+            gp._module_graph, gp._extra_graphs[0], observed,
+            noise_free=False, diagonal_variance=False),
+        alg_name="gp_predict")
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=16)
+    Xt = np.linspace(0, 4, 20)[:, None]
+    mu_live, cov_live = pred.predict(X=Xt)[0]
+    assert isinstance(pred.output_spec, _DerivedSpec)
+
+    path = str(tmp_path / "gp_cov.zip")
+    pred.export(path)
+    served = load_exported_predictor(path)
+    assert isinstance(served._output_spec, _DerivedSpec)
+    assert served._legacy_assume_cov is False
+    mu_srv, cov_srv = served.predict(X=Xt)[0]
+    assert np.asarray(cov_srv).shape == (1, 20, 20)
+    np.testing.assert_allclose(np.asarray(mu_srv),
+                               np.asarray(mu_live), rtol=1e-6)
+
+
+def test_zero_row_predict_raises():
+    """Zero-row input must fail loudly (was IndexError deep in the
+    chunk merge)."""
+    import pytest as _pytest
+    rng = np.random.default_rng(17)
+    m, infr = _trained_gp(rng)
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=16)
+    with _pytest.raises(ValueError, match="zero rows"):
+        pred.predict(X=np.zeros((0, 1)))
