@@ -176,7 +176,7 @@ def svgp_step_flops(B, M, D_in, D_out=1):
 
 
 def run_svgp_config(B, M, D, steps=100, n_total=1_000_000,
-                    ceiling_tflops=None):
+                    ceiling_tflops=None, whitened=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -200,7 +200,7 @@ def run_svgp_config(B, M, D, steps=100, n_total=1_000_000,
                            initial_value=0.1)
     m.Y = SVGPRegression.define_variable(
         X=m.X, kernel=RBF(input_dim=D, variance=1.0, lengthscale=1.0),
-        noise_var=m.noise_var, shape=(m.n, 1),
+        noise_var=m.noise_var, shape=(m.n, 1), whitened=whitened,
         inducing_inputs=Variable(shape=(M, D), initial_value=Z0))
     alg = MAP(model=m, observed=[m.X, m.Y])
     infr = GradBasedInference(inference_algorithm=alg)
@@ -233,9 +233,10 @@ def run_svgp_config(B, M, D, steps=100, n_total=1_000_000,
     tflops = flops / sec / 1e12
     frac = "  ({:4.1f}% of ceiling)".format(
         100.0 * tflops / ceiling_tflops) if ceiling_tflops else ""
-    print("SVGP B={:6d} M={:4d} D={:3d}: {:8.3f} ms/step, {:7.1f} "
+    print("SVGP{} B={:6d} M={:4d} D={:3d}: {:8.3f} ms/step, {:7.1f} "
           "steps/s, {:6.2f} TFLOP/s{}".format(
-              B, M, D, sec * 1e3, 1.0 / sec, tflops, frac), flush=True)
+              "/whitened" if whitened else "", B, M, D, sec * 1e3,
+              1.0 / sec, tflops, frac), flush=True)
     return sec, tflops
 
 
