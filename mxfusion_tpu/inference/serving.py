@@ -211,7 +211,8 @@ class BatchedPredictor:
     """
 
     def __init__(self, model, infr_params, observed, target_variables=None,
-                 chunk_size=1024, num_samples=1, output_spec=None):
+                 chunk_size=1024, num_samples=1, output_spec=None,
+                 mesh=None, data_axis=None):
         """``output_spec``: optional explicit data-axis declaration,
         one tuple of axis indices per flattened output leaf (e.g.
         ``[(1,), (1, 2)]`` for a (s, C, D) mean plus a (s, C, C) full
@@ -219,9 +220,26 @@ class BatchedPredictor:
         ambiguous shapes raise with instructions. Two data axes on a
         leaf mean a full predictive covariance, merged
         BLOCK-DIAGONALLY across chunks (cross-chunk covariance is not
-        computed)."""
+        computed).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — each chunk is
+        data-parallel over ``data_axis`` (default: the mesh's first
+        axis) with parameters replicated, so bulk prediction scales
+        across chips via GSPMD with zero model changes. ``chunk_size``
+        must then divide evenly by the axis size (every chunk,
+        including the padded tail, is exactly ``chunk_size`` rows)."""
         self.chunk_size = chunk_size
         self.output_spec = output_spec
+        self._mesh = mesh
+        if mesh is not None:
+            self._data_axis = (data_axis if data_axis is not None
+                               else mesh.axis_names[0])
+            n_shards = mesh.shape[self._data_axis]
+            if chunk_size % n_shards:
+                raise ValueError(
+                    "chunk_size ({}) must be divisible by the '{}' "
+                    "mesh axis size ({}) for sharded serving.".format(
+                        chunk_size, self._data_axis, n_shards))
         alg = ModulePredictionAlgorithm(
             model=model, observed=observed,
             target_variables=target_variables, num_samples=num_samples)
@@ -233,15 +251,42 @@ class BatchedPredictor:
         self._infr.initialize(**{n: c for n, c in zip(names, chunk0)})
         executor = create_sampling_executor(
             self._infr.inference_algorithm, self._infr.params)
-        self._jitted = jax.jit(executor)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(self._mesh, PartitionSpec())
+            shard = NamedSharding(self._mesh,
+                                  PartitionSpec(self._data_axis))
+            # params + key replicated, each chunk leaf split on its
+            # leading (row) axis; XLA/GSPMD partitions the prediction
+            # math and inserts the collectives
+            self._jitted = jax.jit(
+                executor,
+                in_shardings=(repl, repl, [shard] * len(chunk0), repl))
+        else:
+            self._jitted = jax.jit(executor)
         self._chunk_specs = [(tuple(np.shape(c)), np.asarray(c).dtype)
                              for c in chunk0]
 
     def _ensure_compiled(self, names, data):
         N = data[0].shape[0]
         if self._jitted is None:
-            self._chunk = min(self.chunk_size, N)
-            self._compile(names, [d[:self._chunk] for d in data])
+            if self._mesh is not None:
+                # sharded chunks are always full-size (the row axis
+                # must keep dividing the mesh axis); short inputs ride
+                # the pad-and-strip path like any tail chunk
+                self._chunk = self.chunk_size
+                chunk0 = []
+                for d in data:
+                    c = d[:self._chunk]
+                    pad = self._chunk - c.shape[0]
+                    if pad:
+                        c = np.concatenate(
+                            [c, np.repeat(c[-1:], pad, axis=0)])
+                    chunk0.append(c)
+            else:
+                self._chunk = min(self.chunk_size, N)
+                chunk0 = [d[:self._chunk] for d in data]
+            self._compile(names, chunk0)
             if self.output_spec is None:
                 self.output_spec = self._declared_output_spec()
 
@@ -286,6 +331,10 @@ class BatchedPredictor:
         results concatenated on the data axis as numpy arrays."""
         names = self._infr.observed_variable_names
         data = [np.asarray(kwargs[n]) for n in names]
+        if data and data[0].shape[0] == 0:
+            raise ValueError(
+                "predict() called with zero rows; chunked serving "
+                "needs at least one input row.")
         self._ensure_compiled(names, data)
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -310,6 +359,12 @@ class BatchedPredictor:
         compatibility follows ``jax.export`` rules (an artifact
         exported on TPU runs on TPU, etc.)."""
         names = self._infr.observed_variable_names
+        if self._mesh is not None:
+            raise ValueError(
+                "export() of a mesh-sharded predictor is not supported: "
+                "the serialized function would be pinned to this exact "
+                "device topology. Export an unsharded BatchedPredictor "
+                "and shard at load time instead.")
         if self._jitted is None:
             if not example_data:
                 raise ValueError(

@@ -475,3 +475,58 @@ def test_zero_row_predict_raises():
                             target_variables=[m.Y.uuid], chunk_size=16)
     with _pytest.raises(ValueError, match="zero rows"):
         pred.predict(X=np.zeros((0, 1)))
+
+
+def test_sharded_serving_matches_unsharded():
+    """Mesh-sharded BatchedPredictor (params replicated, chunk rows
+    split over the data axis via GSPMD) must produce the same
+    predictions as the single-device path, including the padded tail
+    chunk and an N < chunk_size input."""
+    from mxfusion_tpu.parallel import make_mesh
+    import pytest as _pytest
+
+    rng = np.random.default_rng(23)
+    m, infr = _trained_gp(rng)
+    Xt = np.linspace(0, 4, 37)[:, None]   # 2 full chunks + tail pad
+
+    plain = BatchedPredictor(model=m, infr_params=infr.params,
+                             observed=[m.X],
+                             target_variables=[m.Y.uuid],
+                             chunk_size=16)
+    mu_p, var_p = plain.predict(X=Xt)[0]
+
+    mesh = make_mesh(8)
+    with _pytest.raises(ValueError, match="divisible"):
+        BatchedPredictor(model=m, infr_params=infr.params,
+                         observed=[m.X], target_variables=[m.Y.uuid],
+                         chunk_size=12, mesh=mesh)
+    sharded = BatchedPredictor(model=m, infr_params=infr.params,
+                               observed=[m.X],
+                               target_variables=[m.Y.uuid],
+                               chunk_size=16, mesh=mesh)
+    mu_s, var_s = sharded.predict(X=Xt)[0]
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_p),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_p),
+                               rtol=1e-6, atol=1e-9)
+
+    # N smaller than the chunk: sharded chunks stay full-size (pad +
+    # strip), so this exercises the mesh-mode compile-example padding
+    short = sharded.predict(X=Xt[:5])[0]
+    np.testing.assert_allclose(np.asarray(short[0]),
+                               np.asarray(mu_p)[:, :5], rtol=1e-6,
+                               atol=1e-9)
+
+    with _pytest.raises(ValueError, match="mesh-sharded"):
+        sharded.export("/tmp/should_not_exist.zip")
+
+    # a FRESH sharded predictor whose first call is short compiles
+    # from a padded example (mesh chunks are always full-size)
+    fresh = BatchedPredictor(model=m, infr_params=infr.params,
+                             observed=[m.X],
+                             target_variables=[m.Y.uuid],
+                             chunk_size=16, mesh=mesh)
+    mu_f, _ = fresh.predict(X=Xt[:5])[0]
+    np.testing.assert_allclose(np.asarray(mu_f),
+                               np.asarray(mu_p)[:, :5], rtol=1e-6,
+                               atol=1e-9)
