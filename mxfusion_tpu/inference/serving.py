@@ -416,7 +416,8 @@ class ExportedPredictor:
     contract, no model rebuild, no framework graph machinery."""
 
     def __init__(self, exported, trainable, fixed, names, chunk,
-                 dtypes=None, output_spec=None, legacy_assume_cov=False):
+                 dtypes=None, output_spec=None, legacy_assume_cov=False,
+                 mesh=None, data_axis=None):
         self._exported = exported
         self._trainable = trainable
         self._fixed = fixed
@@ -425,7 +426,28 @@ class ExportedPredictor:
         self._dtypes = dtypes
         self._output_spec = output_spec
         self._legacy_assume_cov = legacy_assume_cov
-        self._call = jax.jit(exported.call)
+        if mesh is not None:
+            # single-device artifacts CAN be served sharded: the
+            # deserialized StableHLO inlines into the outer jit and
+            # GSPMD partitions it like any traced computation (probed:
+            # per-device block shapes, no entry all-gather). The chunk
+            # is fixed at export time, so it must divide the axis.
+            from jax.sharding import NamedSharding, PartitionSpec
+            axis = data_axis if data_axis is not None \
+                else mesh.axis_names[0]
+            n_shards = mesh.shape[axis]
+            if chunk % n_shards:
+                raise ValueError(
+                    "the artifact's chunk size ({}) must be divisible "
+                    "by the '{}' mesh axis size ({}) for sharded "
+                    "serving.".format(chunk, axis, n_shards))
+            repl = NamedSharding(mesh, PartitionSpec())
+            shard = NamedSharding(mesh, PartitionSpec(axis))
+            self._call = jax.jit(
+                exported.call,
+                in_shardings=(repl, repl, [shard] * len(names), repl))
+        else:
+            self._call = jax.jit(exported.call)
 
     def predict(self, key=None, **kwargs):
         data = [np.asarray(kwargs[n]) for n in self._names]
@@ -447,8 +469,14 @@ class ExportedPredictor:
             legacy_assume_cov=self._legacy_assume_cov)
 
 
-def load_exported_predictor(path):
-    """Load a ``BatchedPredictor.export`` artifact."""
+def load_exported_predictor(path, mesh=None, data_axis=None):
+    """Load a ``BatchedPredictor.export`` artifact.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — serve the artifact
+    data-parallel, chunk rows split over ``data_axis`` (default: the
+    mesh's first axis) with parameters replicated. Artifacts export
+    single-device; sharding is applied here at load time (GSPMD
+    partitions the inlined exported computation)."""
     with zipfile.ZipFile(path) as zf:
         exported = jax.export.deserialize(zf.read("function.bin"))
         meta = json.loads(zf.read("meta.json"))
@@ -474,4 +502,5 @@ def load_exported_predictor(path):
                              meta["names"], meta["chunk"],
                              dtypes=dtypes, output_spec=spec,
                              legacy_assume_cov=(spec is None
-                                                and version == "1.0"))
+                                                and version == "1.0"),
+                             mesh=mesh, data_axis=data_axis)

@@ -530,3 +530,37 @@ def test_sharded_serving_matches_unsharded():
     np.testing.assert_allclose(np.asarray(mu_f),
                                np.asarray(mu_p)[:, :5], rtol=1e-6,
                                atol=1e-9)
+
+
+def test_exported_artifact_served_sharded(tmp_path):
+    """Artifacts export single-device; load_exported_predictor(mesh=)
+    serves them data-parallel — GSPMD partitions the inlined exported
+    computation. Predictions must equal the single-device serve."""
+    from mxfusion_tpu.inference import load_exported_predictor
+    from mxfusion_tpu.parallel import make_mesh
+    import pytest as _pytest
+
+    rng = np.random.default_rng(29)
+    m, infr = _trained_gp(rng)
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=16)
+    Xt = np.linspace(0, 4, 37)[:, None]
+    mu_live, var_live = pred.predict(X=Xt)[0]
+    path = str(tmp_path / "p.zip")
+    pred.export(path)
+
+    mesh = make_mesh(8)
+    served = load_exported_predictor(path, mesh=mesh)
+    mu_s, var_s = served.predict(X=Xt)[0]
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_live),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_live),
+                               rtol=1e-6, atol=1e-9)
+
+    # chunk (16) not divisible by a 3-wide axis: loud error
+    from jax.sharding import Mesh
+    import jax as _jax
+    mesh3 = Mesh(np.array(_jax.devices()[:3]), ("d",))
+    with _pytest.raises(ValueError, match="divisible"):
+        load_exported_predictor(path, mesh=mesh3)
