@@ -79,6 +79,23 @@ def main():
     print("prediction RMSE vs true f on 256 train points: {:.4f}"
           .format(rmse))
 
+    # bulk serving scales over the mesh too: BatchedPredictor compiles
+    # one fixed-size chunk and (with mesh=) splits each chunk's rows
+    # over the data axis, parameters replicated — GSPMD partitions the
+    # predictive math exactly as it does the training step
+    from mxfusion_tpu.inference import BatchedPredictor
+    from mxfusion_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    served = BatchedPredictor(
+        model=m, infr_params=infr.params, observed=[m.X],
+        target_variables=[m.Y.uuid],
+        chunk_size=64 * mesh.devices.size, mesh=mesh)
+    mu_s, _ = served.predict(X=Xt)[0]
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu),
+                               rtol=1e-4, atol=1e-6)
+    print("sharded serving over {} devices matches the direct "
+          "prediction".format(mesh.devices.size))
+
 
 if __name__ == "__main__":
     main()
