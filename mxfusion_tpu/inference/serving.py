@@ -93,6 +93,56 @@ class _DerivedSpec(list):
     raising, since the user never wrote it."""
 
 
+def _pad_chunk(c, C):
+    """Pad a short chunk to exactly C rows by repeating the last row
+    (stripped from the outputs by the merge)."""
+    pad = C - c.shape[0]
+    if pad:
+        c = np.concatenate([c, np.repeat(c[-1:], pad, axis=0)])
+    return c
+
+
+def _resolve_mesh_serving(mesh, data_axis, chunk):
+    """Validate a sharded-serving request; returns the data axis name.
+
+    Serving chunks are host-local numpy arrays in and numpy arrays out,
+    so the mesh must be fully addressable (single host); the chunk size
+    is fixed (at construction or export), so it must divide the axis.
+    """
+    axis = data_axis if data_axis is not None else mesh.axis_names[0]
+    if axis not in mesh.shape:
+        raise ValueError(
+            "data_axis {!r} is not an axis of the mesh (axes: {})."
+            .format(axis, tuple(mesh.axis_names)))
+    if any(d.process_index != jax.process_index()
+           for d in mesh.devices.flat):
+        raise ValueError(
+            "mesh-sharded serving is single-host: chunk inputs are "
+            "host-local numpy arrays and outputs are fetched with "
+            "np.asarray, neither of which works on a multi-process "
+            "mesh. Serve on each host's local mesh, or use the "
+            "data-parallel training loops for multi-host work.")
+    n_shards = mesh.shape[axis]
+    if chunk % n_shards:
+        raise ValueError(
+            "chunk size ({}) must be divisible by the '{}' mesh axis "
+            "size ({}) for sharded serving.".format(
+                chunk, axis, n_shards))
+    return axis
+
+
+def _sharded_chunk_jit(fn, mesh, axis, n_inputs):
+    """jit ``fn(trainable, fixed, chunk_list, key)`` data-parallel:
+    params + key replicated, each chunk leaf split on its leading (row)
+    axis; XLA/GSPMD partitions the prediction math and inserts the
+    collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    repl = NamedSharding(mesh, PartitionSpec())
+    shard = NamedSharding(mesh, PartitionSpec(axis))
+    return jax.jit(fn,
+                   in_shardings=(repl, repl, [shard] * n_inputs, repl))
+
+
 def _merge_leaf(pieces_with_pad, axes, C, N):
     """Merge per-chunk arrays into the full-N output.
 
@@ -157,8 +207,7 @@ def _chunked_predict(call, C, data, key, output_spec=None, dtypes=None,
         chunk = [d[i:i + C] for d in data]
         pad = C - chunk[0].shape[0]
         if pad:
-            chunk = [np.concatenate(
-                [c, np.repeat(c[-1:], pad, axis=0)]) for c in chunk]
+            chunk = [_pad_chunk(c, C) for c in chunk]
         key, subkey = jax.random.split(key)
         out = call(chunk, subkey)
         leaves, treedef = jax.tree_util.tree_flatten(out)
@@ -232,14 +281,8 @@ class BatchedPredictor:
         self.output_spec = output_spec
         self._mesh = mesh
         if mesh is not None:
-            self._data_axis = (data_axis if data_axis is not None
-                               else mesh.axis_names[0])
-            n_shards = mesh.shape[self._data_axis]
-            if chunk_size % n_shards:
-                raise ValueError(
-                    "chunk_size ({}) must be divisible by the '{}' "
-                    "mesh axis size ({}) for sharded serving.".format(
-                        chunk_size, self._data_axis, n_shards))
+            self._data_axis = _resolve_mesh_serving(mesh, data_axis,
+                                                    chunk_size)
         alg = ModulePredictionAlgorithm(
             model=model, observed=observed,
             target_variables=target_variables, num_samples=num_samples)
@@ -252,37 +295,29 @@ class BatchedPredictor:
         executor = create_sampling_executor(
             self._infr.inference_algorithm, self._infr.params)
         if self._mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            repl = NamedSharding(self._mesh, PartitionSpec())
-            shard = NamedSharding(self._mesh,
-                                  PartitionSpec(self._data_axis))
-            # params + key replicated, each chunk leaf split on its
-            # leading (row) axis; XLA/GSPMD partitions the prediction
-            # math and inserts the collectives
-            self._jitted = jax.jit(
-                executor,
-                in_shardings=(repl, repl, [shard] * len(chunk0), repl))
+            self._jitted = _sharded_chunk_jit(
+                executor, self._mesh, self._data_axis, len(chunk0))
         else:
             self._jitted = jax.jit(executor)
         self._chunk_specs = [(tuple(np.shape(c)), np.asarray(c).dtype)
                              for c in chunk0]
 
     def _ensure_compiled(self, names, data):
-        N = data[0].shape[0]
+        N = data[0].shape[0] if data else 0
+        if N == 0:
+            # the compile example (and any chunk) is padded by
+            # repeating the last row — impossible from zero rows
+            raise ValueError(
+                "zero input rows; chunked serving needs at least one "
+                "row to fix the chunk shapes.")
         if self._jitted is None:
             if self._mesh is not None:
                 # sharded chunks are always full-size (the row axis
                 # must keep dividing the mesh axis); short inputs ride
                 # the pad-and-strip path like any tail chunk
                 self._chunk = self.chunk_size
-                chunk0 = []
-                for d in data:
-                    c = d[:self._chunk]
-                    pad = self._chunk - c.shape[0]
-                    if pad:
-                        c = np.concatenate(
-                            [c, np.repeat(c[-1:], pad, axis=0)])
-                    chunk0.append(c)
+                chunk0 = [_pad_chunk(d[:self._chunk], self._chunk)
+                          for d in data]
             else:
                 self._chunk = min(self.chunk_size, N)
                 chunk0 = [d[:self._chunk] for d in data]
@@ -331,10 +366,6 @@ class BatchedPredictor:
         results concatenated on the data axis as numpy arrays."""
         names = self._infr.observed_variable_names
         data = [np.asarray(kwargs[n]) for n in names]
-        if data and data[0].shape[0] == 0:
-            raise ValueError(
-                "predict() called with zero rows; chunked serving "
-                "needs at least one input row.")
         self._ensure_compiled(names, data)
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -432,20 +463,9 @@ class ExportedPredictor:
             # GSPMD partitions it like any traced computation (probed:
             # per-device block shapes, no entry all-gather). The chunk
             # is fixed at export time, so it must divide the axis.
-            from jax.sharding import NamedSharding, PartitionSpec
-            axis = data_axis if data_axis is not None \
-                else mesh.axis_names[0]
-            n_shards = mesh.shape[axis]
-            if chunk % n_shards:
-                raise ValueError(
-                    "the artifact's chunk size ({}) must be divisible "
-                    "by the '{}' mesh axis size ({}) for sharded "
-                    "serving.".format(chunk, axis, n_shards))
-            repl = NamedSharding(mesh, PartitionSpec())
-            shard = NamedSharding(mesh, PartitionSpec(axis))
-            self._call = jax.jit(
-                exported.call,
-                in_shardings=(repl, repl, [shard] * len(names), repl))
+            axis = _resolve_mesh_serving(mesh, data_axis, chunk)
+            self._call = _sharded_chunk_jit(exported.call, mesh, axis,
+                                            len(names))
         else:
             self._call = jax.jit(exported.call)
 

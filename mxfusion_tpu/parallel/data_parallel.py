@@ -33,11 +33,16 @@ class DataParallelBatchLoop(BatchInferenceLoop):
         self.axis_name = axis_name
 
     def run(self, executor, params, data, **kwargs):
-        data = shard_data(self.mesh, data, self.axis_name)
-        for store in (params.param_dict,):
-            replicated = replicate_tree(self.mesh, dict(store))
-            store.update(replicated)
-        kwargs.pop("data_sharding", None)
+        custom = kwargs.pop("data_sharding", None)
+        if custom is not None:
+            # an explicit per-array placement overrides the shard_data
+            # heuristic (e.g. replicate one side input, shard the rest)
+            data = [jax.device_put(np.asarray(d), s)
+                    for d, s in zip(data, custom)]
+        else:
+            data = shard_data(self.mesh, data, self.axis_name)
+        replicated = replicate_tree(self.mesh, dict(params.param_dict))
+        params.param_dict.update(replicated)
         return super().run(executor, params, data, **kwargs)
 
 
@@ -59,6 +64,19 @@ class DataParallelMinibatchLoop(MinibatchInferenceLoop):
         self.axis_name = axis_name
 
     def run(self, executor, params, data, **kwargs):
+        # the loop clamps the effective batch to min(batch_size, N) —
+        # validate THAT value against the mesh here, where the error
+        # can name the fix, instead of an opaque device_put failure on
+        # the first batch mid-run
+        n_shards = self.mesh.shape[self.axis_name]
+        N = int(np.asarray(data[0]).shape[0]) if data else 0
+        B = min(self.batch_size, N)
+        if B % n_shards:
+            raise ValueError(
+                "effective batch size min(batch_size={}, N={}) = {} "
+                "must be divisible by the '{}' mesh axis size ({}) "
+                "for data-parallel minibatching.".format(
+                    self.batch_size, N, B, self.axis_name, n_shards))
         shardings = [batch_sharding(self.mesh, np.asarray(d).ndim,
                                     self.axis_name) for d in data]
         replicated = replicate_tree(self.mesh, dict(params.param_dict))

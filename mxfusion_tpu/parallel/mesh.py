@@ -69,10 +69,13 @@ def replicated_sharding(mesh):
 def shard_data(mesh, arrays, axis_name=DATA_AXIS):
     """Place a list of host arrays on the mesh, batch axis sharded.
 
-    Arrays whose leading dim does not divide the mesh size are
-    replicated instead (e.g. scalars / small side inputs).
+    Arrays whose leading dim does not divide the ``axis_name`` axis
+    size are replicated instead (meant for scalars / small side
+    inputs). A LARGE array falling back to replication defeats the
+    data parallelism the caller asked for, so that case warns: pad or
+    trim the data to a multiple of the axis size to silence it.
     """
-    n = mesh.devices.size
+    n = mesh.shape[axis_name]
     out = []
     for a in arrays:
         a = np.asarray(a)
@@ -80,6 +83,15 @@ def shard_data(mesh, arrays, axis_name=DATA_AXIS):
             out.append(jax.device_put(
                 a, batch_sharding(mesh, a.ndim, axis_name)))
         else:
+            if a.ndim >= 1 and a.shape[0] >= n:
+                import warnings
+                warnings.warn(
+                    "shard_data: array with leading dim {} does not "
+                    "divide the '{}' mesh axis (size {}); REPLICATING "
+                    "it on every device — the step stays correct but "
+                    "this input is not data-parallel. Pad or trim to "
+                    "a multiple of {} to shard it.".format(
+                        a.shape[0], axis_name, n, n), RuntimeWarning)
             out.append(jax.device_put(a, replicated_sharding(mesh)))
     return out
 

@@ -473,7 +473,7 @@ def test_zero_row_predict_raises():
     pred = BatchedPredictor(model=m, infr_params=infr.params,
                             observed=[m.X],
                             target_variables=[m.Y.uuid], chunk_size=16)
-    with _pytest.raises(ValueError, match="zero rows"):
+    with _pytest.raises(ValueError, match="zero .*rows"):
         pred.predict(X=np.zeros((0, 1)))
 
 
@@ -564,3 +564,24 @@ def test_exported_artifact_served_sharded(tmp_path):
     mesh3 = Mesh(np.array(_jax.devices()[:3]), ("d",))
     with _pytest.raises(ValueError, match="divisible"):
         load_exported_predictor(path, mesh=mesh3)
+
+
+def test_mesh_serving_validation_errors():
+    """Curated errors for the sharded-serving misuse cases: wrong axis
+    name (was a bare KeyError) and zero-row export example (was an
+    opaque chunk=0 compile)."""
+    from mxfusion_tpu.parallel import make_mesh
+    import pytest as _pytest
+
+    rng = np.random.default_rng(31)
+    m, infr = _trained_gp(rng)
+    mesh = make_mesh(8)
+    with _pytest.raises(ValueError, match="not an axis"):
+        BatchedPredictor(model=m, infr_params=infr.params,
+                         observed=[m.X], target_variables=[m.Y.uuid],
+                         chunk_size=16, mesh=mesh, data_axis="batch")
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=16)
+    with _pytest.raises(ValueError, match="zero input rows"):
+        pred.export("/tmp/never_written.zip", X=np.zeros((0, 1)))

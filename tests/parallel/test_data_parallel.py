@@ -409,3 +409,74 @@ def test_data_parallel_minibatch_scanned_shards_batches():
     infr.run(max_iter=30, learning_rate=0.1, y=y)
     mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
     assert abs(mu_post - y.mean()) < 0.6
+
+
+def test_shard_data_divides_by_named_axis_not_total_devices():
+    """On a 2-D mesh, data only needs to divide the DATA axis size: a
+    leading dim divisible by 4 (data) but not 8 (total devices) must
+    shard, not silently replicate (r5 review fix)."""
+    from mxfusion_tpu.parallel import make_mesh_2d
+    mesh = make_mesh_2d(4, 2)
+    (arr,) = shard_data(mesh, [np.zeros((12, 3), np.float32)])
+    # 12 % 4 == 0: sharded over 'data' -> per-device shard has 3 rows
+    shard_shapes = {s.data.shape for s in arr.addressable_shards}
+    assert shard_shapes == {(3, 3)}, shard_shapes
+
+
+def test_shard_data_warns_when_large_array_replicates():
+    """A big array that cannot shard (leading dim not divisible) is
+    replicated for correctness but must WARN — silently losing data
+    parallelism was the r5 review finding."""
+    import warnings
+    mesh = make_mesh(8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        shard_data(mesh, [np.zeros((1001, 2), np.float32),
+                          np.float32(3.0)])  # scalar: silent replicate
+    msgs = [str(x.message) for x in w
+            if issubclass(x.category, RuntimeWarning)]
+    assert any("REPLICATING" in s for s in msgs), msgs
+    assert len(msgs) == 1  # the scalar side input does not warn
+
+
+def test_minibatch_loop_validates_divisibility_upfront():
+    """min(batch_size, N) not divisible by the mesh axis must raise a
+    clear constructor-time-style error, not an opaque device_put
+    failure on the first batch (r5 review finding)."""
+    from mxfusion_tpu.parallel import DataParallelMinibatchLoop
+    rng = np.random.default_rng(2)
+    y = rng.standard_normal((N, 1)) * 2.0 + 3.0
+    m = Model()
+    m.n = Variable()
+    m.mu = Normal.define_variable(mean=0., variance=100., shape=(1,))
+    m.y = Normal.define_variable(mean=broadcast_to(m.mu, (m.n, 1)),
+                                 variance=broadcast_to(1.0, (m.n, 1)),
+                                 shape=(m.n, 1))
+    q = create_Gaussian_meanfield(model=m, observed=[m.y])
+    alg = StochasticVariationalInference(num_samples=6, model=m,
+                                         posterior=q, observed=[m.y])
+    mesh = make_mesh(8)
+    # B = min(100, 160) = 100, and 100 % 8 != 0
+    infr = GradBasedInference(
+        inference_algorithm=alg,
+        grad_loop=DataParallelMinibatchLoop(mesh, batch_size=100,
+                                            rv_scaling={m.y: N / 100}))
+    with pytest.raises(ValueError, match="divisible"):
+        infr.run(max_iter=2, learning_rate=0.1, y=y)
+
+
+def test_batch_loop_honors_explicit_data_sharding():
+    """A caller-supplied data_sharding overrides the shard_data
+    heuristic instead of being silently discarded (r5 review
+    finding)."""
+    from mxfusion_tpu.parallel.mesh import replicated_sharding
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((N, 1)) * 2.0 + 3.0
+    m, q, alg = _meanfield_setup()
+    mesh = make_mesh(8)
+    infr = GradBasedInference(inference_algorithm=alg,
+                              grad_loop=DataParallelBatchLoop(mesh))
+    infr.run(max_iter=60, learning_rate=0.1, y=y,
+             data_sharding=[replicated_sharding(mesh)])
+    mu_post = np.asarray(infr.params[q.mu.factor.mean]).item()
+    assert abs(mu_post - y.mean()) < 0.5
