@@ -3,4 +3,4 @@ from .gp_modules import (GPRegression, SparseGPRegression,
                          SVGPRegression, SVGPClassification,
                          SVGPMultiClassification, LMCSVGPRegression,
                          SVGPPoissonRegression,
-                         SVGPNegBinomialRegression)
+                         SVGPNegBinomialRegression, DeepGPRegression)

@@ -56,37 +56,34 @@ def _gauss_hermite(num_points, dtype):
             jnp.asarray(w / np.sqrt(np.pi), dtype=dtype))
 
 
-def _q_f_moments(env, model, posterior, jitter, whitened,
-                 keep_columns=False):
-    """Diagonal moments of q(F) at the model's X, plus the whitened
-    mean/cov factors needed by the KL term.
+def _layer_q_moments(X, Z, mu, S_W, S_diag, kern, kern_params, jitter,
+                     whitened, relative_jitter=True, mean_f=None):
+    """Array-level core of :func:`_q_f_moments`: diagonal moments of
+    one SVGP layer's q(F) at inputs ``X``, plus the whitened mean/cov
+    factors needed by the KL term. All operands carry the leading
+    sample axis already (callers run ``arrays_as_samples`` first) —
+    which is what lets the deep-GP bound (deep_gp.py) call this
+    per-layer on SAMPLED inputs rather than env lookups.
 
-    Returns (mu_f (s,N), var_f (s,N), Linvmu, LinvLs) — the same
-    algebra as SVGPRegressionLogPdf (svgp_regression.py:100-115), with
-    the N-axis kept diagonal throughout. ``keep_columns=True`` keeps
-    mu_f as (s, N, D) for multi-column latents (multi-class); var_f is
-    column-shared either way (one q(U) covariance for all columns)."""
-    X = env[model.X]
-    Z = env[model.inducing_inputs]
-    mu = env[posterior.qU_mean]
-    S_W = env[posterior.qU_cov_W]
-    S_diag = env[posterior.qU_cov_diag]
+    Returns (mu_f (s,N,D), var_f (s,N), Linvmu, LinvLs); var_f is
+    column-shared (one q(U) covariance for all output columns).
+    ``mean_f`` is an additive output-mean array, already broadcast.
+    """
     M = Z.shape[-2]
-    kern = model.kernel
-    kern_params = kern.fetch_parameters(env)
-    X, Z, mu, S_W, S_diag, kern_params = arrays_as_samples(
-        [X, Z, mu, S_W, S_diag, kern_params])
-
     eye_m = jnp.expand_dims(jnp.eye(M, dtype=Z.dtype), axis=0)
     Kuu = kern.K(Z, **kern_params)
     if jitter > 0.0:
-        # RELATIVE jitter (× mean kernel diagonal): classification
-        # training grows the kernel variance freely, and an absolute
-        # floor is silently outscaled — float32 Cholesky roundoff is
-        # ~eps·‖Kuu‖, so the safety margin must track Kuu's scale
-        scale = jnp.mean(jnp.diagonal(Kuu, axis1=-2, axis2=-1),
-                         axis=-1)[..., None, None]
-        Kuu = Kuu + eye_m * (jitter * scale)
+        if relative_jitter:
+            # RELATIVE jitter (× mean kernel diagonal): classification
+            # training grows the kernel variance freely, and an
+            # absolute floor is silently outscaled — float32 Cholesky
+            # roundoff is ~eps·‖Kuu‖, so the safety margin must track
+            # Kuu's scale
+            scale = jnp.mean(jnp.diagonal(Kuu, axis1=-2, axis2=-1),
+                             axis=-1)[..., None, None]
+            Kuu = Kuu + eye_m * (jitter * scale)
+        else:
+            Kuu = Kuu + eye_m * jitter
     Kuf = kern.K(Z, X, **kern_params)
     Kff_diag = kern.Kdiag(X, **kern_params)
 
@@ -115,18 +112,53 @@ def _q_f_moments(env, model, posterior, jitter, whitened,
         from ...ops.precision import guarded_forward_matmul
         LinvKuf = guarded_forward_matmul(Linv, Kuf)
     else:
-        LinvKuf = wide_triangular_solve(L, Kuf, lower=True)
+        # the deep-GP bound propagates S data samples against
+        # sample-size-1 layer parameters (the M×M Cholesky factorizes
+        # once); lax triangular_solve requires EQUAL batch dims, so
+        # broadcast the factor to the data panel's sample count here
+        # (matmul-based paths broadcast on their own)
+        L_b = L if L.shape[0] == Kuf.shape[0] else \
+            jnp.broadcast_to(L, Kuf.shape[:-2] + L.shape[-2:])
+        LinvKuf = wide_triangular_solve(L_b, Kuf, lower=True)
 
     mu_f = p_einsum("...mn,...md->...nd", LinvKuf, Linvmu)
-    if model.F.factor.has_mean:
-        (mean,) = arrays_as_samples([env[model.mean]])
-        mu_f = mu_f + mean
-    if not keep_columns:
-        mu_f = mu_f[..., 0]
+    if mean_f is not None:
+        mu_f = mu_f + mean_f
     LsTLinvKuf = p_einsum("...mk,...mn->...kn", LinvLs, LinvKuf)
     var_f = Kff_diag \
         - jnp.sum(jnp.square(LinvKuf), axis=-2) \
         + jnp.sum(jnp.square(LsTLinvKuf), axis=-2)
+    return mu_f, var_f, Linvmu, LinvLs
+
+
+def _q_f_moments(env, model, posterior, jitter, whitened,
+                 keep_columns=False):
+    """Diagonal moments of q(F) at the model's X, plus the whitened
+    mean/cov factors needed by the KL term.
+
+    Returns (mu_f (s,N), var_f (s,N), Linvmu, LinvLs) — the same
+    algebra as SVGPRegressionLogPdf (svgp_regression.py:100-115), with
+    the N-axis kept diagonal throughout. ``keep_columns=True`` keeps
+    mu_f as (s, N, D) for multi-column latents (multi-class); var_f is
+    column-shared either way (one q(U) covariance for all columns)."""
+    X = env[model.X]
+    Z = env[model.inducing_inputs]
+    mu = env[posterior.qU_mean]
+    S_W = env[posterior.qU_cov_W]
+    S_diag = env[posterior.qU_cov_diag]
+    kern = model.kernel
+    kern_params = kern.fetch_parameters(env)
+    X, Z, mu, S_W, S_diag, kern_params = arrays_as_samples(
+        [X, Z, mu, S_W, S_diag, kern_params])
+
+    mean_f = None
+    if model.F.factor.has_mean:
+        (mean_f,) = arrays_as_samples([env[model.mean]])
+    mu_f, var_f, Linvmu, LinvLs = _layer_q_moments(
+        X, Z, mu, S_W, S_diag, kern, kern_params, jitter, whitened,
+        relative_jitter=True, mean_f=mean_f)
+    if not keep_columns:
+        mu_f = mu_f[..., 0]
     return mu_f, var_f, Linvmu, LinvLs
 
 

@@ -36,6 +36,7 @@ SURFACE = {
         "SVGPRegression", "SVGPClassification",
         "SVGPPoissonRegression", "SVGPNegBinomialRegression",
         "SVGPMultiClassification", "LMCSVGPRegression",
+        "DeepGPRegression",
     ],
     "mxfusion_tpu.inference": [
         "Inference", "TransferInference", "InferenceParameters",
