@@ -33,6 +33,7 @@ EXAMPLES = [
     "parallel_tempering.py",
     "stochastic_volatility.py",
     "svgp_poisson_counts.py",
+    "deep_gp_regression.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")

@@ -4,7 +4,8 @@ import numpy as np
 from mxfusion_tpu import Model, Variable
 from mxfusion_tpu.components.variables import PositiveTransformation
 from mxfusion_tpu.components.distributions.gp.kernels import RBF
-from mxfusion_tpu.modules import GPRegression, SVGPRegression
+from mxfusion_tpu.modules import (DeepGPRegression, GPRegression,
+                                  SVGPRegression)
 from mxfusion_tpu.inference import (
     GradBasedInference, MAP, ModulePredictionAlgorithm,
     TransferInference, BatchedPredictor)
@@ -585,3 +586,67 @@ def test_mesh_serving_validation_errors():
                             target_variables=[m.Y.uuid], chunk_size=16)
     with _pytest.raises(ValueError, match="zero input rows"):
         pred.export("/tmp/never_written.zip", X=np.zeros((0, 1)))
+
+
+def _trained_deep_gp(num_layers, rng, N=40, num_pred_samples=64):
+    X = np.sort(rng.random((N, 1)) * 4, axis=0)
+    Y = np.sin(2 * X) + rng.standard_normal((N, 1)) * 0.1
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, 1))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.1)
+    Zs = [np.linspace(0.2, 3.8, 6)[:, None]] + \
+        [np.linspace(-1.2, 1.2, 6)[:, None]] * (num_layers - 1)
+    m.Y = DeepGPRegression.define_variable(
+        X=m.X, kernels=[RBF(input_dim=1) for _ in range(num_layers)],
+        noise_var=m.noise_var, shape=(m.n, 1),
+        inducing_inputs=[Variable(shape=z.shape, initial_value=z)
+                         for z in Zs],
+        jitter=1e-5, num_samples=2)
+    # prediction cost scales with the MC propagation count: pin it for
+    # serving via the attached algorithm's default
+    m.Y.factor.deep_gp_predict.default_samples = num_pred_samples
+    infr = GradBasedInference(
+        inference_algorithm=MAP(model=m, observed=[m.X, m.Y]))
+    infr.run(max_iter=60, learning_rate=0.02, X=X, Y=Y)
+    return m, infr, X
+
+
+def test_batched_predictor_deep_gp_one_layer_exact():
+    """1-layer deep GP prediction is analytic (no MC propagation), so
+    chunked serving must match the full prediction bit-for-bit-ish."""
+    rng = np.random.default_rng(7)
+    m, infr, X = _trained_deep_gp(1, rng)
+    full = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid]),
+        infr_params=infr.params)
+    mu_full, var_full = full.run(X=X)[0]
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=16)
+    mu_b, var_b = pred.predict(X=X)[0]
+    np.testing.assert_allclose(mu_b, np.asarray(mu_full), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(var_b, np.asarray(var_full), rtol=1e-4,
+                               atol=1e-7)
+
+
+def test_batched_predictor_deep_gp_two_layer():
+    """2-layer serving: per-chunk MC keys differ from the full run's,
+    so only statistical agreement of the mixture moments is expected."""
+    rng = np.random.default_rng(8)
+    m, infr, X = _trained_deep_gp(2, rng, num_pred_samples=128)
+    full = TransferInference(ModulePredictionAlgorithm(
+        model=m, observed=[m.X], target_variables=[m.Y.uuid],
+        num_samples=128), infr_params=infr.params)
+    mu_full, var_full = full.run(X=X)[0]
+    pred = BatchedPredictor(model=m, infr_params=infr.params,
+                            observed=[m.X],
+                            target_variables=[m.Y.uuid], chunk_size=16)
+    mu_b, var_b = pred.predict(X=X)[0]
+    assert mu_b.shape == np.asarray(mu_full).shape
+    assert np.all(np.isfinite(mu_b)) and np.all(np.isfinite(var_b))
+    assert np.all(var_b > 0)
+    # MC error of a 128-sample mixture mean is well under this
+    np.testing.assert_allclose(mu_b, np.asarray(mu_full), atol=0.25)
