@@ -202,13 +202,33 @@ class SamplingAlgorithm(InferenceAlgorithm):
     #: the server then infers axes per leaf (and raises on ambiguity).
     serving_data_axes = None
 
-    def __init__(self, model, observed, num_samples=1, target_variables=None,
-                 extra_graphs=None):
+    def __init__(self, model, observed, num_samples=None,
+                 target_variables=None, extra_graphs=None):
+        # num_samples=None means "caller never chose a count": it reads
+        # as 1 through the normalized property but stays observable via
+        # ``num_samples_requested`` for default-promoting algorithms
         super().__init__(model=model, observed=observed,
                          extra_graphs=extra_graphs)
         self.num_samples = num_samples
         self.target_variables = variables_to_UUID(target_variables) \
             if target_variables is not None else None
+
+    @property
+    def num_samples(self):
+        """Sample count, normalized: an UNSET request (None) reads as 1."""
+        return 1 if self._num_samples is None else self._num_samples
+
+    @num_samples.setter
+    def num_samples(self, value):
+        self._num_samples = value
+
+    @property
+    def num_samples_requested(self):
+        """The raw requested count — ``None`` when the caller never set
+        one. Lets algorithms with their own default (e.g. the deep GP's
+        mixture prediction) distinguish "unset" from an EXPLICIT 1,
+        which must be honored, not promoted."""
+        return self._num_samples
 
 
 def _make_env_builder(algorithm, params, rv_scaling=None):

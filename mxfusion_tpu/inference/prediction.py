@@ -18,9 +18,12 @@ class ModulePredictionAlgorithm(SamplingAlgorithm):
         for f in self.model.ordered_factors:
             if isinstance(f, Module):
                 outcome_uuid = [v.uuid for _, v in f.outputs]
+                # pass the RAW request through (None = caller never
+                # chose a count), so module algorithms with their own
+                # default can tell "unset" from an explicit 1
                 outcome = f.predict(env, ctx.next_key(),
                                     targets=outcome_uuid,
-                                    num_samples=self.num_samples)
+                                    num_samples=self.num_samples_requested)
                 for v, uuid in zip(outcome, outcome_uuid):
                     env[uuid] = v
                     outcomes[uuid] = v

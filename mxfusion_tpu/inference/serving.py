@@ -260,7 +260,7 @@ class BatchedPredictor:
     """
 
     def __init__(self, model, infr_params, observed, target_variables=None,
-                 chunk_size=1024, num_samples=1, output_spec=None,
+                 chunk_size=1024, num_samples=None, output_spec=None,
                  mesh=None, data_axis=None):
         """``output_spec``: optional explicit data-axis declaration,
         one tuple of axis indices per flattened output leaf (e.g.
@@ -270,6 +270,12 @@ class BatchedPredictor:
         leaf mean a full predictive covariance, merged
         BLOCK-DIAGONALLY across chunks (cross-chunk covariance is not
         computed).
+
+        ``num_samples``: sample count handed to the prediction
+        algorithm; the default ``None`` means "unset" — moment-based
+        algorithms read it as 1 while algorithms with their own
+        serving-appropriate default (the deep GP's mixture prediction)
+        apply theirs. Pass an explicit integer to override either way.
 
         ``mesh``: optional ``jax.sharding.Mesh`` — each chunk is
         data-parallel over ``data_axis`` (default: the mesh's first

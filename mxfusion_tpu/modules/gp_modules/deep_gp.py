@@ -56,6 +56,7 @@ from ...components.functions.operators import broadcast_to, dot
 from ...inference.variational import VariationalInference
 from ...inference.inference_alg import SamplingAlgorithm
 from ...inference.forward_sampling import ForwardSamplingAlgorithm
+from ...ops.precision import guarded_forward_matmul
 from .svgp_classification import (_layer_q_moments, _neg_kl, _VAR_FLOOR)
 
 LOG2PI = float(np.log(2.0 * np.pi))
@@ -97,7 +98,11 @@ class _DeepGPLayerStack:
         """q(f_l) moments at (sampled) inputs ``A`` (s, N, D_{l-1})."""
         Z, mu, S_W, S_diag, kern, kern_params, W = \
             self._fetch_layer(env, l)
-        mean_f = jnp.matmul(A, W) if W is not None else None
+        # the skip-mean product rides the precision policy like every
+        # other data-side contraction: forward floored at HIGH (it
+        # feeds the cancellation-amplified residual Y − m and every
+        # deeper layer's gram), cotangents at the configured data tier
+        mean_f = guarded_forward_matmul(A, W) if W is not None else None
         # RELATIVE jitter (× mean kernel diagonal), as in the
         # classification ELBO: deep training walks every layer's
         # variance/lengthscale freely, and an absolute floor is
@@ -110,18 +115,32 @@ class _DeepGPLayerStack:
             A, Z, mu, S_W, S_diag, kern, kern_params, self.jitter,
             self.whitened, relative_jitter=True, mean_f=mean_f)
 
+    def _mc_count(self, sample_count, requested):
+        """Monte-Carlo propagation count. An env that already carries
+        s > 1 samples (sampled hyperparameters, outer SVI draws) pins
+        the count to s — one propagation draw per env sample, which is
+        what composes with the outer interpreter's per-term sample
+        mean; ``requested`` applies only to a sample-size-1 env (the
+        arrays could not broadcast against 1 < s ≠ requested anyway)."""
+        if self.num_layers == 1 or sample_count > 1:
+            return sample_count
+        return requested
+
     def _propagate(self, env, ctx, A, num_mc):
-        """Sample through the inner layers; returns (A, neg_kl_sum) with
-        A broadcast to ``num_mc`` Monte-Carlo samples on the sample
-        axis. The final layer is NOT consumed here (the bound needs its
-        analytic moments; predictions need its mixture moments)."""
-        if self.num_layers > 1 and A.shape[0] != num_mc:
-            A = jnp.broadcast_to(A, (num_mc,) + A.shape[1:])
+        """Sample through the inner layers; returns (A, neg_kl_sum)
+        with A carrying ``num_mc`` Monte-Carlo samples on the sample
+        axis after the first sampled layer. A is NOT pre-broadcast:
+        layer 0's gram/solve runs ONCE on the deterministic input
+        (sample dim 1) and only the eps draw fans out to num_mc — the
+        batched solve over num_mc identical panels is pure waste. The
+        final layer is NOT consumed here (the bound needs its analytic
+        moments; predictions need its mixture moments)."""
         kl_sum = 0.0
         for l in range(self.num_layers - 1):
             mu_f, var_f, Linvmu, LinvLs = self._layer_moments(env, l, A)
             eps = self._rand_gen.sample_normal(
-                ctx.next_key(), shape=mu_f.shape, dtype=mu_f.dtype)
+                ctx.next_key(), shape=(num_mc,) + mu_f.shape[1:],
+                dtype=mu_f.dtype)
             # positive floor (not 0): sqrt'(0) is infinite and the
             # moment cancellation can land slightly negative — same
             # guard as the quadrature ELBOs (svgp_classification.py)
@@ -158,8 +177,7 @@ class DeepGPRegressionLogPdf(VariationalInference, _DeepGPLayerStack):
         X, Y, noise_var = arrays_as_samples([X, Y, noise_var])
         D = Y.shape[-1]
 
-        num_mc = max(X.shape[0], self.num_samples) \
-            if self.num_layers > 1 else X.shape[0]
+        num_mc = self._mc_count(X.shape[0], self.num_samples)
         A, kl_sum = self._propagate(env, ctx, X, num_mc)
 
         # final layer: analytic Gaussian expected log-likelihood in
@@ -189,9 +207,10 @@ class DeepGPMeanVariancePrediction(SamplingAlgorithm, _DeepGPLayerStack):
     """Predictive mixture moments: S propagation samples through the
     inner layers, analytic q(f_L) moments per sample, then the Gaussian
     mixture's mean/diagonal variance. ``num_samples`` (set by
-    ``predict(num_samples=...)``) is the propagation count; the default
-    1 is promoted to ``default_samples`` for multi-layer stacks (a
-    single propagation sample is a point estimate of the mixture)."""
+    ``predict(num_samples=...)``) is the propagation count; when the
+    caller never chose one (``num_samples_requested`` is None) a
+    multi-layer stack uses ``default_samples`` — an EXPLICIT 1 is
+    honored as a deliberate single-propagation point estimate."""
 
     serving_data_axes = ((1,), (1,))  # (1, N, D) mean + (1, N, D) var
 
@@ -209,17 +228,17 @@ class DeepGPMeanVariancePrediction(SamplingAlgorithm, _DeepGPLayerStack):
         self._rand_gen = rand_gen if rand_gen is not None \
             else default_rand_gen()
 
-    def _mc_count(self, X):
-        if self.num_layers == 1:
-            return X.shape[0]
-        requested = self.num_samples if self.num_samples > 1 \
-            else self.default_samples
-        return max(X.shape[0], requested)
-
     def compute(self, env, ctx):
         X = env[self.model.X]
         (X,) = arrays_as_samples([X])
-        A, _ = self._propagate(env, ctx, X, self._mc_count(X))
+        # honor any EXPLICIT request (including 1 — a deliberate cheap
+        # point estimate); promote to default_samples only when the
+        # caller never chose a count (num_samples_requested is None)
+        requested = self.num_samples_requested
+        requested = self.default_samples if requested is None \
+            else requested
+        num_mc = self._mc_count(X.shape[0], requested)
+        A, _ = self._propagate(env, ctx, X, num_mc)
         mu_f, var_f, _, _ = self._layer_moments(
             env, self.num_layers - 1, A)
         # Gaussian-mixture moments over the MC axis (exact for the
@@ -249,16 +268,16 @@ class DeepGPSamplingPrediction(DeepGPMeanVariancePrediction):
     def compute(self, env, ctx):
         X = env[self.model.X]
         (X,) = arrays_as_samples([X])
-        num_mc = max(X.shape[0], self.num_samples)
-        if self.num_layers > 1 and X.shape[0] != num_mc:
-            X = jnp.broadcast_to(X, (num_mc,) + X.shape[1:])
+        # number of returned draws: the env's sample count when it
+        # carries one (>1), else the requested draw count — regardless
+        # of depth (a 1-layer stack still returns num_samples draws,
+        # via eps fan-out below rather than input pre-broadcast)
+        num_mc = X.shape[0] if X.shape[0] > 1 \
+            else max(self.num_samples, 1)
         A, _ = self._propagate(env, ctx, X, num_mc)
         mu_f, var_f, _, _ = self._layer_moments(
             env, self.num_layers - 1, A)
         var = jnp.maximum(var_f, _VAR_FLOOR)[..., None]
-        if num_mc > mu_f.shape[0]:
-            # single-layer stack: _propagate left A at the input count
-            mu_f = jnp.broadcast_to(mu_f, (num_mc,) + mu_f.shape[1:])
         if not self.noise_free:
             noise_var = env[self.model.noise_var]
             (noise_var,) = arrays_as_samples([noise_var])
@@ -266,7 +285,8 @@ class DeepGPSamplingPrediction(DeepGPMeanVariancePrediction):
                 noise_var = jnp.expand_dims(noise_var, axis=-2)
             var = var + noise_var
         eps = self._rand_gen.sample_normal(
-            ctx.next_key(), shape=mu_f.shape, dtype=mu_f.dtype)
+            ctx.next_key(), shape=(num_mc,) + mu_f.shape[1:],
+            dtype=mu_f.dtype)
         samples = mu_f + jnp.sqrt(var) * eps
         outcomes = {self.model.Y.uuid: samples}
         if self.target_variables:

@@ -243,10 +243,12 @@ class Module(Factor):
         alg.target_variables = targets
         return alg.compute(env, RuntimeContext(key))
 
-    def predict(self, env, key, targets=None, num_samples=1):
+    def predict(self, env, key, targets=None, num_samples=None):
         from ..inference.inference_alg import RuntimeContext
         alg = self._get_algorithm(self._prediction_algorithms, targets, env,
                                   exact_match=True)
+        # None flows through: "unset" stays distinguishable from an
+        # explicit 1 for algorithms with their own prediction default
         alg.num_samples = num_samples
         alg.target_variables = targets
         return alg.compute(env, RuntimeContext(key))

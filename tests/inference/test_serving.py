@@ -648,5 +648,11 @@ def test_batched_predictor_deep_gp_two_layer():
     assert mu_b.shape == np.asarray(mu_full).shape
     assert np.all(np.isfinite(mu_b)) and np.all(np.isfinite(var_b))
     assert np.all(var_b > 0)
-    # MC error of a 128-sample mixture mean is well under this
-    np.testing.assert_allclose(mu_b, np.asarray(mu_full), atol=0.25)
+    # per-point statistical bound: the 128-draw mixture-mean MC standard
+    # error is at most sqrt(var)/sqrt(128) ≈ sqrt(var)/11, so half a
+    # predictive std (~5 se) plus a small absolute floor is generous
+    # without being vacuous
+    tol = 0.5 * np.sqrt(np.asarray(var_full)).ravel() + 0.05
+    diff = np.abs(np.asarray(mu_b).ravel() -
+                  np.asarray(mu_full).ravel())
+    assert np.all(diff <= tol), (diff.max(), tol[diff.argmax()])

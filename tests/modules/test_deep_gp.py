@@ -281,3 +281,91 @@ def test_constructor_validation():
                                          RBF(input_dim=1)],
             noise_var=0.1,
             inducing_inputs=[Variable(shape=(4, 2))])
+
+
+class _ShapeRecordingRandGen:
+    """Wraps the default generator, recording sample_normal shapes."""
+
+    def __init__(self):
+        from mxfusion_tpu.components.distributions.random_gen import (
+            default_rand_gen)
+        self._inner = default_rand_gen()
+        self.shapes = []
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def sample_normal(self, key, loc=0.0, scale=1.0, shape=None,
+                      dtype=None):
+        self.shapes.append(tuple(shape) if shape is not None else None)
+        return self._inner.sample_normal(key, loc=loc, scale=scale,
+                                         shape=shape, dtype=dtype)
+
+
+def test_explicit_num_samples_one_is_honored():
+    """predict(num_samples=1) must run ONE propagation sample (a
+    deliberate cheap point estimate), not be promoted to the
+    default_samples count; an UNSET request does promote."""
+    X, Y, Z0 = _data(seed=9, n=12)
+    Z1 = np.random.default_rng(10).standard_normal((4, 2))
+    rec = _ShapeRecordingRandGen()
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, 2))
+    m.noise_var = Variable(transformation=PositiveTransformation(),
+                           initial_value=0.1)
+    m.Y = DeepGPRegression.define_variable(
+        X=m.X, kernels=[RBF(input_dim=2), RBF(input_dim=2)],
+        noise_var=m.noise_var, shape=(m.n, 1),
+        inducing_inputs=[Variable(shape=Z0[:4].shape,
+                                  initial_value=Z0[:4]),
+                         Variable(shape=Z1.shape, initial_value=Z1)],
+        jitter=1e-8, whitened=True, num_samples=2, rand_gen=rec)
+    _, infr = _exec(m, X, Y)
+
+    def run(num_samples):
+        rec.shapes.clear()
+        kw = {} if num_samples is None else {"num_samples": num_samples}
+        p = TransferInference(ModulePredictionAlgorithm(
+            model=m, observed=[m.X], target_variables=[m.Y.uuid], **kw),
+            infr_params=infr.params)
+        p.run(X=X[:5])
+        return [s[0] for s in rec.shapes if s is not None]
+
+    assert run(1) == [1], "explicit num_samples=1 was promoted"
+    assert run(None) == [20], \
+        "unset request did not promote to default_samples"
+    assert run(7) == [7]
+
+
+def test_log_pdf_with_sampled_hyperparameter_env():
+    """An outer SVI pass with s>1 posterior samples of a model-level
+    hyperparameter (here the observation noise) hands the module an
+    env with sample count s where 1 < s != module num_samples — the
+    bound must pin the MC propagation count to s instead of crashing
+    on an impossible broadcast."""
+    from mxfusion_tpu.components.distributions import Gamma
+    from mxfusion_tpu.inference import (
+        StochasticVariationalInference, create_Gaussian_meanfield)
+    X, Y, Z0 = _data(seed=12, n=10)
+    Z1 = np.random.default_rng(13).standard_normal((4, 2))
+    m = Model()
+    m.n = Variable()
+    m.X = Variable(shape=(m.n, 2))
+    m.noise_var = Gamma.define_variable(alpha=2.0, beta=10.0, shape=(1,))
+    m.Y = DeepGPRegression.define_variable(
+        X=m.X, kernels=[RBF(input_dim=2), RBF(input_dim=2)],
+        noise_var=m.noise_var, shape=(m.n, 1),
+        inducing_inputs=[Variable(shape=Z0[:4].shape,
+                                  initial_value=Z0[:4]),
+                         Variable(shape=Z1.shape, initial_value=Z1)],
+        jitter=1e-6, whitened=True, num_samples=5)
+    q = create_Gaussian_meanfield(model=m, observed=[m.X, m.Y])
+    alg = StochasticVariationalInference(num_samples=3, model=m,
+                                         posterior=q,
+                                         observed=[m.X, m.Y])
+    infr = GradBasedInference(inference_algorithm=alg)
+    losses = []
+    infr.run(max_iter=3, learning_rate=0.01, X=X, Y=Y,
+             callback=lambda i, l: losses.append(float(l)))
+    assert np.all(np.isfinite(losses)), losses
