@@ -3,4 +3,5 @@ from .gp_modules import (GPRegression, SparseGPRegression,
                          SVGPRegression, SVGPClassification,
                          SVGPMultiClassification, LMCSVGPRegression,
                          SVGPPoissonRegression,
-                         SVGPNegBinomialRegression, DeepGPRegression)
+                         SVGPNegBinomialRegression, DeepGPRegression,
+                         DeepGPClassification)

@@ -6,4 +6,4 @@ from .svgp_poisson import SVGPPoissonRegression
 from .svgp_negbinom import SVGPNegBinomialRegression
 from .svgp_multiclass import SVGPMultiClassification
 from .lmc_svgp import LMCSVGPRegression
-from .deep_gp import DeepGPRegression
+from .deep_gp import DeepGPClassification, DeepGPRegression

@@ -56,8 +56,11 @@ from ...components.functions.operators import broadcast_to, dot
 from ...inference.variational import VariationalInference
 from ...inference.inference_alg import SamplingAlgorithm
 from ...inference.forward_sampling import ForwardSamplingAlgorithm
+from ...components.distributions.bernoulli import Bernoulli
+from ...components.functions.operators import sigmoid, probit
 from ...ops.precision import guarded_forward_matmul
-from .svgp_classification import (_layer_q_moments, _neg_kl, _VAR_FLOOR)
+from .svgp_classification import (_gauss_hermite, _layer_q_moments,
+                                  _neg_kl, _VAR_FLOOR)
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -294,10 +297,13 @@ class DeepGPSamplingPrediction(DeepGPMeanVariancePrediction):
         return outcomes
 
 
-class DeepGPRegression(Module):
-    """Deep GP regression module.
+class _DeepGPModule(Module):
+    """Shared deep-GP module plumbing: layer-stack construction,
+    per-layer posterior allocation, replication. Subclasses supply the
+    likelihood tail (``_replicate_extra_inputs`` + ``_set_output_prior``)
+    and the attached inference algorithms.
 
-    Parameters
+    Parameters (shared by the concrete modules)
     ----------
     kernels : list of kernels, one per layer (depth L = len(kernels)).
         Layer widths are derived from the NEXT kernel's ``input_dim``:
@@ -316,14 +322,16 @@ class DeepGPRegression(Module):
         training grows per-layer kernel scales freely.
     """
 
-    def __init__(self, X, kernels, noise_var, inducing_inputs=None,
-                 num_inducing=10, rand_gen=None, dtype=None,
-                 jitter=1e-5, whitened=True, num_samples=5,
+    _graph_name = "deep_gp"
+
+    def __init__(self, X, kernels, inducing_inputs=None,
+                 num_inducing=10, extra_inputs=(), rand_gen=None,
+                 dtype=None, jitter=1e-5, whitened=True, num_samples=5,
                  inner_mean="linear"):
         if not isinstance(kernels, (list, tuple)) or len(kernels) == 0:
             raise ValueError(
-                "DeepGPRegression needs a non-empty list of kernels "
-                "(one per layer); got {!r}.".format(kernels))
+                "{} needs a non-empty list of kernels (one per layer);"
+                " got {!r}.".format(type(self).__name__, kernels))
         if inner_mean not in ("linear", "zero"):
             raise ValueError("inner_mean must be 'linear' or 'zero', "
                              "got {!r}".format(inner_mean))
@@ -335,8 +343,6 @@ class DeepGPRegression(Module):
         self.inner_mean = inner_mean
         if not isinstance(X, Variable):
             X = Variable(value=X)
-        if not isinstance(noise_var, Variable):
-            noise_var = Variable(value=noise_var)
         if inducing_inputs is None:
             inducing_inputs = [
                 Variable(shape=(num_inducing, k.input_dim),
@@ -351,7 +357,7 @@ class DeepGPRegression(Module):
         inputs = [("X", X)]
         inputs += [("inducing_inputs_%d" % l, z)
                    for l, z in enumerate(inducing_inputs)]
-        inputs.append(("noise_var", noise_var))
+        inputs.extend(extra_inputs)
         input_names = [k for k, _ in inputs]
         super().__init__(inputs=inputs, outputs=None,
                          input_names=input_names,
@@ -369,11 +375,19 @@ class DeepGPRegression(Module):
         D_out = self.random_variable.shape[-1]
         return [k.input_dim for k in self.kernels[1:]] + [D_out]
 
+    # ---- subclass hooks ------------------------------------------------
+    def _replicate_extra_inputs(self, graph):
+        """Replicate likelihood-specific inputs onto ``graph``."""
+
+    def _set_output_prior(self, graph, A):
+        """Attach the likelihood tail: graph.Y with a prior driven by
+        the final layer's GP output ``A``."""
+        raise NotImplementedError
+
     def _build_module_graphs(self):
-        Y = self.random_variable
-        graph = Model(name="deep_gp_regression")
+        graph = Model(name=self._graph_name)
         graph.X = self.X.replicate_self()
-        graph.noise_var = self.noise_var.replicate_self()
+        self._replicate_extra_inputs(graph)
         N = self.X.shape[0]
         widths = self._layer_widths()
 
@@ -405,11 +419,7 @@ class DeepGPRegression(Module):
             A = F
             post_specs.append((M_l, widths[l]))
 
-        graph.Y = Y.replicate_self()
-        graph.Y.set_prior(Normal(
-            mean=A,
-            variance=broadcast_to(graph.noise_var, graph.Y.shape),
-            rand_gen=self._rand_gen, dtype=self.dtype))
+        self._set_output_prior(graph, A)
 
         post = Posterior(graph)
         for l, (M_l, D_l) in enumerate(post_specs):
@@ -421,6 +431,47 @@ class DeepGPRegression(Module):
             setattr(post, "qU_mean_%d" % l, Variable(
                 shape=(M_l, D_l)))
         return graph, [post]
+
+    def replicate_self(self, attribute_map=None):
+        rep = super().replicate_self(attribute_map)
+        rep.kernels = [k.replicate_self(attribute_map)
+                       for k in self.kernels]
+        rep.num_layers = self.num_layers
+        rep.jitter = self.jitter
+        rep.whitened = self.whitened
+        rep.num_samples = self.num_samples
+        rep.inner_mean = self.inner_mean
+        return rep
+
+
+class DeepGPRegression(_DeepGPModule):
+    """Deep GP regression module (see the module docstring and
+    :class:`_DeepGPModule` for the shared parameters)."""
+
+    _graph_name = "deep_gp_regression"
+
+    def __init__(self, X, kernels, noise_var, inducing_inputs=None,
+                 num_inducing=10, rand_gen=None, dtype=None,
+                 jitter=1e-5, whitened=True, num_samples=5,
+                 inner_mean="linear"):
+        if not isinstance(noise_var, Variable):
+            noise_var = Variable(value=noise_var)
+        super().__init__(
+            X=X, kernels=kernels, inducing_inputs=inducing_inputs,
+            num_inducing=num_inducing,
+            extra_inputs=[("noise_var", noise_var)], rand_gen=rand_gen,
+            dtype=dtype, jitter=jitter, whitened=whitened,
+            num_samples=num_samples, inner_mean=inner_mean)
+
+    def _replicate_extra_inputs(self, graph):
+        graph.noise_var = self.noise_var.replicate_self()
+
+    def _set_output_prior(self, graph, A):
+        graph.Y = self.random_variable.replicate_self()
+        graph.Y.set_prior(Normal(
+            mean=A,
+            variance=broadcast_to(graph.noise_var, graph.Y.shape),
+            rand_gen=self._rand_gen, dtype=self.dtype))
 
     def _attach_default_inference_algorithms(self):
         observed = [v for _, v in self.inputs] + \
@@ -463,13 +514,195 @@ class DeepGPRegression(Module):
         gp._generate_outputs({"random_variable": shape})
         return gp.random_variable
 
+
+class DeepGPClassificationLogPdf(VariationalInference, _DeepGPLayerStack):
+    """Doubly-stochastic ELBO with a Bernoulli likelihood: the final
+    layer's expected log-likelihood is a Gauss–Hermite quadrature over
+    its analytic Gaussian q(f_L | propagation sample) — the same
+    one-batched-(S, N, Q)-broadcast evaluation as the single-layer
+    classification ELBO (svgp_classification.py), so a 1-layer stack
+    reproduces SVGPClassification's bound exactly (the test oracle)."""
+
+    def __init__(self, model, posterior, observed, num_layers,
+                 jitter=0.0, whitened=True, num_samples=5,
+                 inner_mean="linear", num_quadrature_points=20,
+                 link="logit", rand_gen=None):
+        super().__init__(num_samples=num_samples, model=model,
+                         posterior=posterior, observed=observed)
+        self.log_pdf_scaling = 1.0
+        self.num_layers = num_layers
+        self.jitter = jitter
+        self.whitened = whitened
+        self.inner_mean = inner_mean
+        self.num_quadrature_points = num_quadrature_points
+        self.link = link
+        self._rand_gen = rand_gen if rand_gen is not None \
+            else default_rand_gen()
+
+    def compute(self, env, ctx):
+        X = env[self.model.X]
+        Y = env[self.model.Y]
+        X, Y = arrays_as_samples([X, Y])
+
+        num_mc = self._mc_count(X.shape[0], self.num_samples)
+        A, kl_sum = self._propagate(env, ctx, X, num_mc)
+        mu_f, var_f, Linvmu, LinvLs = self._layer_moments(
+            env, self.num_layers - 1, A)
+        kl_sum = kl_sum + _neg_kl(Linvmu, LinvLs, 1)
+        mu = mu_f[..., 0]                                   # (S, N)
+
+        t, w = _gauss_hermite(self.num_quadrature_points, mu.dtype)
+        sign = 2.0 * Y[..., 0] - 1.0                        # (s, N)
+        var_safe = jnp.maximum(var_f, _VAR_FLOOR)
+        f = mu[..., None] + jnp.sqrt(2.0 * var_safe)[..., None] * t
+        if self.link == "probit":
+            from jax.scipy.stats import norm as _norm
+            log_lik = _norm.logcdf(sign[..., None] * f)
+        else:
+            import jax.nn
+            log_lik = jax.nn.log_sigmoid(sign[..., None] * f)
+        quad = jnp.sum(log_lik * w, axis=-1)                 # (S, N)
+        logL = jnp.sum(quad, axis=-1)
+        return self.log_pdf_scaling * logL + kl_sum
+
+
+class DeepGPClassificationProbPrediction(SamplingAlgorithm,
+                                         _DeepGPLayerStack):
+    """Predictive class-1 probability, mixture-averaged over the S
+    propagation samples: p = (1/S) Σ_s E_{q(f_L | s)}[link(f_L)] —
+    quadrature for the logit link, closed-form Φ(μ/√(1+σ²)) per sample
+    for the probit link. Returns {Y: (p, p(1−p))}."""
+
+    serving_data_axes = ((1,), (1,))  # (1, N, 1) probability moments
+
+    def __init__(self, model, posterior, observed, num_layers,
+                 jitter=0.0, whitened=True, inner_mean="linear",
+                 num_quadrature_points=20, link="logit",
+                 default_samples=20, rand_gen=None):
+        super().__init__(model=model, observed=observed,
+                         extra_graphs=[posterior])
+        self.num_layers = num_layers
+        self.jitter = jitter
+        self.whitened = whitened
+        self.inner_mean = inner_mean
+        self.num_quadrature_points = num_quadrature_points
+        self.link = link
+        self.default_samples = default_samples
+        self._rand_gen = rand_gen if rand_gen is not None \
+            else default_rand_gen()
+
+    def compute(self, env, ctx):
+        X = env[self.model.X]
+        (X,) = arrays_as_samples([X])
+        requested = self.num_samples_requested
+        requested = self.default_samples if requested is None \
+            else requested
+        num_mc = self._mc_count(X.shape[0], requested)
+        A, _ = self._propagate(env, ctx, X, num_mc)
+        mu_f, var_f, _, _ = self._layer_moments(
+            env, self.num_layers - 1, A)
+        mu = mu_f[..., 0]
+        var_safe = jnp.maximum(var_f, _VAR_FLOOR)
+        if self.link == "probit":
+            from jax.scipy.special import ndtr
+            p_s = ndtr(mu / jnp.sqrt(1.0 + var_safe))        # (S, N)
+        else:
+            import jax.nn
+            t, w = _gauss_hermite(self.num_quadrature_points, mu.dtype)
+            f = mu[..., None] + jnp.sqrt(2.0 * var_safe)[..., None] * t
+            p_s = jnp.sum(jax.nn.sigmoid(f) * w, axis=-1)    # (S, N)
+        p = jnp.mean(p_s, axis=0, keepdims=True)[..., None]  # (1, N, 1)
+        outcomes = {self.model.Y.uuid: (p, p * (1.0 - p))}
+        if self.target_variables:
+            return tuple(outcomes[v] for v in self.target_variables)
+        return outcomes
+
+
+class DeepGPClassification(_DeepGPModule):
+    """Deep GP binary classification: stacked SVGP layers, Bernoulli
+    likelihood through a logit or probit link on the final layer.
+    Labels are {0, 1}; the output event dim must be 1. See
+    :class:`_DeepGPModule` for the shared stack parameters."""
+
+    _graph_name = "deep_gp_classification"
+
+    def __init__(self, X, kernels, inducing_inputs=None,
+                 num_inducing=10, rand_gen=None, dtype=None,
+                 jitter=1e-5, whitened=True, num_samples=5,
+                 inner_mean="linear", num_quadrature_points=20,
+                 link="logit"):
+        if link not in ("logit", "probit"):
+            raise ValueError("link must be 'logit' or 'probit', got "
+                             "{!r}".format(link))
+        self.num_quadrature_points = num_quadrature_points
+        self.link = link
+        super().__init__(
+            X=X, kernels=kernels, inducing_inputs=inducing_inputs,
+            num_inducing=num_inducing, rand_gen=rand_gen, dtype=dtype,
+            jitter=jitter, whitened=whitened, num_samples=num_samples,
+            inner_mean=inner_mean)
+
+    def _generate_outputs(self, output_shapes=None):
+        super()._generate_outputs(output_shapes)
+        if self.random_variable.shape[-1] != 1:
+            raise ValueError(
+                "DeepGPClassification is binary: the output event dim "
+                "must be 1, got {}.".format(
+                    self.random_variable.shape[-1]))
+
+    def _set_output_prior(self, graph, A):
+        graph.p = sigmoid(A) if self.link == "logit" else probit(A)
+        graph.Y = self.random_variable.replicate_self()
+        graph.Y.set_prior(Bernoulli(
+            prob_true=graph.p, rand_gen=self._rand_gen,
+            dtype=self.dtype))
+
+    def _attach_default_inference_algorithms(self):
+        observed = [v for _, v in self.inputs] + \
+            [v for _, v in self.outputs]
+        self.attach_log_pdf_algorithms(
+            targets=self.output_names, conditionals=self.input_names,
+            algorithm=DeepGPClassificationLogPdf(
+                self._module_graph, self._extra_graphs[0], observed,
+                num_layers=self.num_layers, jitter=self.jitter,
+                whitened=self.whitened, num_samples=self.num_samples,
+                inner_mean=self.inner_mean,
+                num_quadrature_points=self.num_quadrature_points,
+                link=self.link, rand_gen=self._rand_gen),
+            alg_name="deep_gp_class_log_pdf")
+        observed = [v for _, v in self.inputs]
+        self.attach_draw_samples_algorithms(
+            targets=self.output_names, conditionals=self.input_names,
+            algorithm=ForwardSamplingAlgorithm(self._module_graph,
+                                               observed),
+            alg_name="deep_gp_class_sampling")
+        self.attach_prediction_algorithms(
+            targets=self.output_names, conditionals=self.input_names,
+            algorithm=DeepGPClassificationProbPrediction(
+                self._module_graph, self._extra_graphs[0], observed,
+                num_layers=self.num_layers, jitter=self.jitter,
+                whitened=self.whitened, inner_mean=self.inner_mean,
+                num_quadrature_points=self.num_quadrature_points,
+                link=self.link, rand_gen=self._rand_gen),
+            alg_name="deep_gp_class_predict")
+
+    @staticmethod
+    def define_variable(X, kernels, shape=None, inducing_inputs=None,
+                        num_inducing=10, rand_gen=None, dtype=None,
+                        jitter=1e-5, whitened=True, num_samples=5,
+                        inner_mean="linear", num_quadrature_points=20,
+                        link="logit"):
+        gp = DeepGPClassification(
+            X=X, kernels=kernels, inducing_inputs=inducing_inputs,
+            num_inducing=num_inducing, rand_gen=rand_gen, dtype=dtype,
+            jitter=jitter, whitened=whitened, num_samples=num_samples,
+            inner_mean=inner_mean,
+            num_quadrature_points=num_quadrature_points, link=link)
+        gp._generate_outputs({"random_variable": shape})
+        return gp.random_variable
+
     def replicate_self(self, attribute_map=None):
         rep = super().replicate_self(attribute_map)
-        rep.kernels = [k.replicate_self(attribute_map)
-                       for k in self.kernels]
-        rep.num_layers = self.num_layers
-        rep.jitter = self.jitter
-        rep.whitened = self.whitened
-        rep.num_samples = self.num_samples
-        rep.inner_mean = self.inner_mean
+        rep.num_quadrature_points = self.num_quadrature_points
+        rep.link = self.link
         return rep

@@ -37,6 +37,7 @@ SURFACE = {
         "SVGPPoissonRegression", "SVGPNegBinomialRegression",
         "SVGPMultiClassification", "LMCSVGPRegression",
         "DeepGPRegression",
+        "DeepGPClassification",
     ],
     "mxfusion_tpu.inference": [
         "Inference", "TransferInference", "InferenceParameters",
