@@ -13,24 +13,31 @@ all 8 topics as .ipynb with narrative markdown. Regenerate with:
 platform, fixed seeds) and embeds the captured stdout as real executed
 outputs, like the reference's committed notebooks.
 """
+import hashlib
 import json
 import os
 import sys
-import uuid
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 WRITTEN = []
 
 
+def _cell_id(text):
+    """Deterministic cell id (hash of the source): regeneration is
+    idempotent, so adding one notebook never churns the ids of the
+    other committed notebooks with spurious diffs."""
+    return hashlib.sha256(text.encode()).hexdigest()[:8]
+
+
 def md(text):
     return {"cell_type": "markdown", "metadata": {},
-            "id": uuid.uuid4().hex[:8],
+            "id": _cell_id(text),
             "source": text.splitlines(keepends=True)}
 
 
 def code(text):
     return {"cell_type": "code", "metadata": {}, "execution_count": None,
-            "id": uuid.uuid4().hex[:8], "outputs": [],
+            "id": _cell_id(text), "outputs": [],
             "source": text.strip("\n").splitlines(keepends=True)}
 
 

@@ -1,15 +1,21 @@
-"""Deep Gaussian-process regression by doubly-stochastic variational
-inference (Salimbeni & Deisenroth, NeurIPS 2017).
+"""Deep Gaussian processes by doubly-stochastic variational inference
+(Salimbeni & Deisenroth, NeurIPS 2017): regression
+(:class:`DeepGPRegression`) and binary classification
+(:class:`DeepGPClassification`) over a shared layer stack
+(:class:`_DeepGPModule`).
 
 Beyond the reference's module set (amzn/MXFusion ships single-layer GP
 modules only — /root/reference/mxfusion/modules/gp_modules/__init__.py);
 this stacks L SVGP layers F_l ~ GP(m_l(F_{l-1}), k_l) with independent
 variational posteriors q(U_l) and optimizes the doubly-stochastic bound
 
-    Σ_n E_{q(f_L,n)}[log N(y_n | f_L,n, σ²)] − Σ_l KL(q(U_l) ‖ p(U_l))
+    Σ_n E_{q(f_L,n)}[log p(y_n | f_L,n)] − Σ_l KL(q(U_l) ‖ p(U_l))
 
 where the outer expectation is estimated by S reparameterized samples
-propagated through the inner layers.
+propagated through the inner layers. The final-layer expected
+log-likelihood is analytic for the Gaussian likelihood (residual form)
+and Gauss–Hermite quadrature for the Bernoulli one — both single
+copies shared with the corresponding single-layer modules.
 
 TPU-first design:
 
@@ -23,11 +29,12 @@ TPU-first design:
   (``_layer_q_moments`` in svgp_classification.py — single copy of the
   cancellation-sensitive variance math, precision-guarded for the
   1-pass-bf16 data tier).
-- The FINAL layer's Gaussian expected log-likelihood is analytic in
-  residual form (same reorganization as svgp_regression.py:198-218):
-  no sampling noise from the output layer, and a 1-layer DeepGP
-  reproduces the SVGP ELBO EXACTLY — the test oracle
-  (tests/modules/test_deep_gp.py).
+- The FINAL layer's expected log-likelihood has no extra sampling
+  noise: Gaussian in residual form (same reorganization as
+  svgp_regression.py:198-218), Bernoulli by the shared Gauss–Hermite
+  quadrature. A 1-layer stack reproduces the corresponding
+  single-layer module's ELBO EXACTLY — the test oracles
+  (tests/modules/test_deep_gp.py, test_deep_gp_classification.py).
 - Inner layers carry fixed identity-like linear mean functions
   (``inner_mean="linear"``, the Salimbeni & Deisenroth trick): a
   zero-mean initialization collapses the latent rank and stalls
@@ -59,7 +66,8 @@ from ...inference.forward_sampling import ForwardSamplingAlgorithm
 from ...components.distributions.bernoulli import Bernoulli
 from ...components.functions.operators import sigmoid, probit
 from ...ops.precision import guarded_forward_matmul
-from .svgp_classification import (_gauss_hermite, _layer_q_moments,
+from .svgp_classification import (_bernoulli_expected_log_lik,
+                                  _class_probability, _layer_q_moments,
                                   _neg_kl, _VAR_FLOOR)
 
 LOG2PI = float(np.log(2.0 * np.pi))
@@ -551,17 +559,9 @@ class DeepGPClassificationLogPdf(VariationalInference, _DeepGPLayerStack):
         kl_sum = kl_sum + _neg_kl(Linvmu, LinvLs, 1)
         mu = mu_f[..., 0]                                   # (S, N)
 
-        t, w = _gauss_hermite(self.num_quadrature_points, mu.dtype)
         sign = 2.0 * Y[..., 0] - 1.0                        # (s, N)
-        var_safe = jnp.maximum(var_f, _VAR_FLOOR)
-        f = mu[..., None] + jnp.sqrt(2.0 * var_safe)[..., None] * t
-        if self.link == "probit":
-            from jax.scipy.stats import norm as _norm
-            log_lik = _norm.logcdf(sign[..., None] * f)
-        else:
-            import jax.nn
-            log_lik = jax.nn.log_sigmoid(sign[..., None] * f)
-        quad = jnp.sum(log_lik * w, axis=-1)                 # (S, N)
+        quad = _bernoulli_expected_log_lik(
+            mu, var_f, sign, self.link, self.num_quadrature_points)
         logL = jnp.sum(quad, axis=-1)
         return self.log_pdf_scaling * logL + kl_sum
 
@@ -601,16 +601,8 @@ class DeepGPClassificationProbPrediction(SamplingAlgorithm,
         A, _ = self._propagate(env, ctx, X, num_mc)
         mu_f, var_f, _, _ = self._layer_moments(
             env, self.num_layers - 1, A)
-        mu = mu_f[..., 0]
-        var_safe = jnp.maximum(var_f, _VAR_FLOOR)
-        if self.link == "probit":
-            from jax.scipy.special import ndtr
-            p_s = ndtr(mu / jnp.sqrt(1.0 + var_safe))        # (S, N)
-        else:
-            import jax.nn
-            t, w = _gauss_hermite(self.num_quadrature_points, mu.dtype)
-            f = mu[..., None] + jnp.sqrt(2.0 * var_safe)[..., None] * t
-            p_s = jnp.sum(jax.nn.sigmoid(f) * w, axis=-1)    # (S, N)
+        p_s = _class_probability(mu_f[..., 0], var_f, self.link,
+                                 self.num_quadrature_points)  # (S, N)
         p = jnp.mean(p_s, axis=0, keepdims=True)[..., None]  # (1, N, 1)
         outcomes = {self.model.Y.uuid: (p, p * (1.0 - p))}
         if self.target_variables:

@@ -179,6 +179,40 @@ def _neg_kl(Linvmu, LinvLs, num_columns):
         - jnp.sum(jnp.square(Linvmu), axis=(-2, -1)) / 2.0
 
 
+def _bernoulli_expected_log_lik(mu, var_f, sign, link,
+                                num_quadrature_points):
+    """Gauss–Hermite E_{f~N(mu, var_f)}[log Bern(y | link(f))] per
+    point: ``sign`` is 2y−1 broadcastable against ``mu`` (s, N).
+    Single copy of the stability-sensitive quadrature (the _VAR_FLOOR
+    clamp, sqrt(2v) node placement, stable log-link identities) shared
+    by the single-layer and deep classification ELBOs."""
+    t, w = _gauss_hermite(num_quadrature_points, mu.dtype)
+    # positive floor, not 0: sqrt'(0) is infinite, and clamping to
+    # exactly 0 yields NaN (0*inf) gradients the moment cancellation
+    # drives var_f slightly negative (whitened training gets there)
+    var_safe = jnp.maximum(var_f, _VAR_FLOOR)
+    f = mu[..., None] + jnp.sqrt(2.0 * var_safe)[..., None] * t
+    if link == "probit":
+        from jax.scipy.stats import norm as _norm
+        log_lik = _norm.logcdf(sign[..., None] * f)
+    else:
+        log_lik = jax.nn.log_sigmoid(sign[..., None] * f)
+    return jnp.sum(log_lik * w, axis=-1)                     # (s, N)
+
+
+def _class_probability(mu, var_f, link, num_quadrature_points):
+    """Predictive p(y=1) = E_{f~N(mu, var_f)}[link(f)] per point:
+    quadrature for the logit link, CLOSED FORM Φ(μ/√(1+σ²)) for the
+    probit link. Shared by the single-layer and deep predictives."""
+    var_safe = jnp.maximum(var_f, _VAR_FLOOR)
+    if link == "probit":
+        from jax.scipy.special import ndtr
+        return ndtr(mu / jnp.sqrt(1.0 + var_safe))           # (s, N)
+    t, w = _gauss_hermite(num_quadrature_points, mu.dtype)
+    f = mu[..., None] + jnp.sqrt(2.0 * var_safe)[..., None] * t
+    return jnp.sum(jax.nn.sigmoid(f) * w, axis=-1)           # (s, N)
+
+
 class SVGPClassificationLogPdf(VariationalInference):
     """Quadrature ELBO: Σ_n E_{q(f_n)}[log Bern(y_n | link(f_n))] − KL.
 
@@ -206,19 +240,9 @@ class SVGPClassificationLogPdf(VariationalInference):
             Y = jnp.broadcast_to(Y, (mu_f.shape[0],) + Y.shape[1:])
         D = Linvmu.shape[-1]
 
-        t, w = _gauss_hermite(self.num_quadrature_points, mu_f.dtype)
         sign = 2.0 * Y[..., 0] - 1.0                        # (s, N)
-        # positive floor, not 0: sqrt'(0) is infinite, and clamping to
-        # exactly 0 yields NaN (0*inf) gradients the moment cancellation
-        # drives var_f slightly negative (whitened training gets there)
-        var_safe = jnp.maximum(var_f, _VAR_FLOOR)
-        f = mu_f[..., None] + jnp.sqrt(2.0 * var_safe)[..., None] * t
-        if self.link == "probit":
-            from jax.scipy.stats import norm as _norm
-            log_lik = _norm.logcdf(sign[..., None] * f)
-        else:
-            log_lik = jax.nn.log_sigmoid(sign[..., None] * f)
-        quad = jnp.sum(log_lik * w, axis=-1)                 # (s, N)
+        quad = _bernoulli_expected_log_lik(
+            mu_f, var_f, sign, self.link, self.num_quadrature_points)
         logL = jnp.sum(quad, axis=-1)
 
         return self.log_pdf_scaling * logL + _neg_kl(Linvmu, LinvLs, D)
@@ -245,15 +269,8 @@ class SVGPClassificationProbPrediction(SamplingAlgorithm):
         posterior = self._extra_graphs[0]
         mu_f, var_f, _, _ = _q_f_moments(
             env, self.model, posterior, self.jitter, self.whitened)
-        var_safe = jnp.maximum(var_f, _VAR_FLOOR)
-        if self.link == "probit":
-            from jax.scipy.special import ndtr
-            p = ndtr(mu_f / jnp.sqrt(1.0 + var_safe))[..., None]
-        else:
-            t, w = _gauss_hermite(self.num_quadrature_points,
-                                  mu_f.dtype)
-            f = mu_f[..., None] + jnp.sqrt(2.0 * var_safe)[..., None] * t
-            p = jnp.sum(jax.nn.sigmoid(f) * w, axis=-1)[..., None]
+        p = _class_probability(mu_f, var_f, self.link,
+                               self.num_quadrature_points)[..., None]
         outcomes = {self.model.Y.uuid: (p, p * (1.0 - p))}
         if self.target_variables:
             return tuple(outcomes[v] for v in self.target_variables)
