@@ -41,9 +41,24 @@ def code(text):
             "source": text.strip("\n").splitlines(keepends=True)}
 
 
+def _dedupe_ids(cells):
+    """nbformat 4.5 requires per-notebook UNIQUE cell ids; two cells
+    with identical source would hash to the same id. Salt repeats with
+    their occurrence index — still deterministic, so regeneration stays
+    idempotent."""
+    seen = {}
+    for cell in cells:
+        cid = cell["id"]
+        n = seen.get(cid, 0)
+        seen[cid] = n + 1
+        if n:
+            cell["id"] = _cell_id("{}#{}".format(cid, n))
+    return cells
+
+
 def write(name, cells):
     nb = {
-        "cells": cells,
+        "cells": _dedupe_ids(cells),
         "metadata": {
             "kernelspec": {"display_name": "Python 3",
                            "language": "python", "name": "python3"},

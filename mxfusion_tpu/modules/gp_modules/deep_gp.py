@@ -59,12 +59,12 @@ from ...components.distributions.random_gen import default_rand_gen
 from ...components.distributions.gp.gp import GaussianProcess
 from ...components.distributions.gp.cond_gp import \
     ConditionalGaussianProcess
-from ...components.functions.operators import broadcast_to, dot
+from ...components.functions.operators import (broadcast_to, dot,
+                                               sigmoid, probit)
 from ...inference.variational import VariationalInference
 from ...inference.inference_alg import SamplingAlgorithm
 from ...inference.forward_sampling import ForwardSamplingAlgorithm
 from ...components.distributions.bernoulli import Bernoulli
-from ...components.functions.operators import sigmoid, probit
 from ...ops.precision import guarded_forward_matmul
 from .svgp_classification import (_bernoulli_expected_log_lik,
                                   _class_probability, _layer_q_moments,
