@@ -34,6 +34,7 @@ EXAMPLES = [
     "stochastic_volatility.py",
     "svgp_poisson_counts.py",
     "deep_gp_regression.py",
+    "deep_gp_classification.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "examples")
